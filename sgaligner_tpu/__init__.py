@@ -1,0 +1,19 @@
+"""sgaligner_tpu — a TPU-native (JAX/XLA/Pallas/pjit) scene-graph alignment framework.
+
+Re-designed from scratch with the capabilities of sayands/sgaligner (ICCV 2023):
+multi-modal 3D scene-graph node alignment on 3RScan/3DSSG subscan pairs, plus the
+downstream tasks of point-cloud registration, overlap detection, and mosaicking.
+
+Unlike the reference (single-GPU PyTorch with ragged concat-batching and per-graph
+python loops, see /root/reference/src/aligner/sg_aligner.py:86-110), this framework:
+
+* pads variable-size scene pairs to static bucketed shapes (`data/batch.py`),
+* runs the object encoder, dense masked GAT, fusion, losses, and alignment metrics
+  as a single jitted XLA program per step,
+* scales data-parallel over a `jax.sharding.Mesh` (`parallel/`),
+* keeps the reference's config surface (same YAML keys), checkpoint semantics
+  (epoch/iteration metadata, torch-checkpoint import), and evaluation metrics
+  (MRR, Hits@K, SGAR, CD/RRE/RTE/FMR/RR).
+"""
+
+__version__ = "0.1.0"

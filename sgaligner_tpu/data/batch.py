@@ -1,0 +1,204 @@
+"""PairBatch — the static-shape data contract for scene-graph pairs.
+
+The reference batches pairs by *concatenating* ragged per-pair tensors
+(/root/reference/src/datasets/scan3r.py:179-209) and then python-loops over batch
+items inside the model forward to slice per-graph node/edge ranges
+(/root/reference/src/aligner/sg_aligner.py:86-110). That batching is hostile to XLA:
+every batch has different shapes and the GAT runs 2*B separate dynamic-shape calls.
+
+Here every scene-graph pair is padded into a fixed slot layout:
+
+* Each pair owns ``2*N`` object slots (``N = max_objects``): slots ``[0, N)`` hold
+  the source graph's objects, slots ``[N, 2N)`` the reference graph's.
+* Graph structure is a dense boolean adjacency per graph (edges are near-dense in
+  the data anyway: preprocessing completes the edge set with 'none' relations,
+  /root/reference/preprocessing/scan3r/preprocess.py:176-182).
+* Anchor/non-anchor index sets (e1i/e2i/e1j/e2j, the reference's contrastive
+  loss inputs, scan3r.py:101-107) are padded index arrays + masks. Indices are
+  *local* to the pair's 2N axis; flat indices into the whole batch are
+  ``b * 2N + idx``.
+
+Everything is a plain dict-of-arrays pytree → trivially shardable with
+``jax.sharding`` along the leading pair axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class BatchSpec:
+    """Static shape parameters of a PairBatch."""
+
+    batch_size: int           # B — pairs per batch
+    max_objects: int          # N — object slots per graph
+    points_per_object: int    # P
+    rel_dim: int = 41
+    attr_dim: int = 164
+
+    @property
+    def slots_per_pair(self) -> int:
+        return 2 * self.max_objects
+
+    @property
+    def total_slots(self) -> int:
+        return self.batch_size * self.slots_per_pair
+
+
+# PairBatch fields (all numpy/jax arrays; leading dim B unless noted):
+#   obj_points  [B, 2N, P, 3] f32 — per-object point clouds (centered)
+#   obj_mask    [B, 2N]       bool — slot validity
+#   bow_rel     [B, 2N, rel]  f32 — relationship BoW per object
+#   bow_attr    [B, 2N, attr] f32 — attribute BoW per object
+#   rel_pose    [B, 2N, 3]    f32 — relative translation to root object
+#   adj         [B, 2, N, N]  bool — per-graph adjacency (directed, row=target?
+#                                    see ops/gat.py: adj[g, i, j] == edge j->i)
+#   e1i, e2i    [B, A]  int32 — anchor slot indices (src / ref side)
+#   anchor_mask [B, A]  bool
+#   e1j, e2j    [B, N]  int32 — non-anchor slot indices
+#   e1j_mask, e2j_mask [B, N] bool
+#   obj_ids     [B, 2N] int32 — original 3RScan object ids (0 = padding)
+#   global_obj_ids [B, 2N] int32 — global category ids
+#   n_src, n_ref [B] int32 — true object counts
+#   overlap     [B] f32
+PairBatch = dict[str, Any]
+
+
+def empty_pair_sample(spec: BatchSpec) -> dict[str, np.ndarray]:
+    """An all-padding single-pair sample (no leading batch dim)."""
+    n, p = spec.max_objects, spec.points_per_object
+    return {
+        "obj_points": np.zeros((2 * n, p, 3), np.float32),
+        "obj_mask": np.zeros((2 * n,), bool),
+        "bow_rel": np.zeros((2 * n, spec.rel_dim), np.float32),
+        "bow_attr": np.zeros((2 * n, spec.attr_dim), np.float32),
+        "rel_pose": np.zeros((2 * n, 3), np.float32),
+        "adj": np.zeros((2, n, n), bool),
+        "e1i": np.zeros((n,), np.int32),
+        "e2i": np.zeros((n,), np.int32),
+        "anchor_mask": np.zeros((n,), bool),
+        "e1j": np.zeros((n,), np.int32),
+        "e1j_mask": np.zeros((n,), bool),
+        "e2j": np.zeros((n,), np.int32),
+        "e2j_mask": np.zeros((n,), bool),
+        "obj_ids": np.zeros((2 * n,), np.int32),
+        "global_obj_ids": np.zeros((2 * n,), np.int32),
+        "n_src": np.int32(0),
+        "n_ref": np.int32(0),
+        "overlap": np.float32(-1.0),
+    }
+
+
+def pack_pair(
+    spec: BatchSpec,
+    *,
+    src_points: np.ndarray,      # [n_src, P, 3]
+    ref_points: np.ndarray,      # [n_ref, P, 3]
+    src_bow_rel: np.ndarray,     # [n_src, rel_dim]
+    ref_bow_rel: np.ndarray,
+    src_bow_attr: np.ndarray,    # [n_src, attr_dim]
+    ref_bow_attr: np.ndarray,
+    src_rel_pose: np.ndarray,    # [n_src, 3]
+    ref_rel_pose: np.ndarray,
+    src_edges: np.ndarray,       # [e_src, 2] local (s_idx, o_idx) pairs
+    ref_edges: np.ndarray,
+    e1i: np.ndarray,             # [a] anchor indices into src objects
+    e2i: np.ndarray,             # [a] anchor indices into ref objects (local)
+    e1j: np.ndarray,             # non-anchor src indices
+    e2j: np.ndarray,             # non-anchor ref indices (local)
+    src_obj_ids: np.ndarray | None = None,
+    ref_obj_ids: np.ndarray | None = None,
+    src_global_ids: np.ndarray | None = None,
+    ref_global_ids: np.ndarray | None = None,
+    overlap: float = -1.0,
+) -> dict[str, np.ndarray]:
+    """Pack one ragged scene-graph pair into the padded slot layout.
+
+    All ``*_edges`` / ``e2i`` / ``e2j`` indices are local to their own graph;
+    this function places the ref graph at slot offset N.
+    """
+    n = spec.max_objects
+    n_src, n_ref = len(src_points), len(ref_points)
+    if n_src > n or n_ref > n:
+        raise ValueError(
+            f"graph exceeds max_objects={n}: n_src={n_src}, n_ref={n_ref}; "
+            f"raise cfg.tpu.max_objects"
+        )
+    a = len(e1i)
+    if a > n:
+        raise ValueError(f"too many anchors ({a} > {n})")
+
+    out = empty_pair_sample(spec)
+    out["obj_points"][:n_src] = src_points
+    out["obj_points"][n : n + n_ref] = ref_points
+    out["obj_mask"][:n_src] = True
+    out["obj_mask"][n : n + n_ref] = True
+    out["bow_rel"][:n_src] = src_bow_rel
+    out["bow_rel"][n : n + n_ref] = ref_bow_rel
+    out["bow_attr"][:n_src] = src_bow_attr
+    out["bow_attr"][n : n + n_ref] = ref_bow_attr
+    out["rel_pose"][:n_src] = src_rel_pose
+    out["rel_pose"][n : n + n_ref] = ref_rel_pose
+
+    # Dense adjacency: adj[g, tgt, src_node] — matches message flow s->o of the
+    # reference edge list convention edges[:, 0]=subject, edges[:, 1]=object
+    # (preprocess.py:184-193) fed to GATConv as edge_index=(source, target).
+    for g, edges in ((0, src_edges), (1, ref_edges)):
+        if len(edges):
+            e = np.asarray(edges, np.int64)
+            out["adj"][g, e[:, 1], e[:, 0]] = True
+
+    out["e1i"][:a] = e1i
+    out["e2i"][:a] = np.asarray(e2i) + n
+    out["anchor_mask"][:a] = True
+    j1 = len(e1j)
+    out["e1j"][:j1] = e1j
+    out["e1j_mask"][:j1] = True
+    j2 = len(e2j)
+    out["e2j"][:j2] = np.asarray(e2j) + n
+    out["e2j_mask"][:j2] = True
+
+    if src_obj_ids is not None:
+        out["obj_ids"][:n_src] = src_obj_ids
+    if ref_obj_ids is not None:
+        out["obj_ids"][n : n + n_ref] = ref_obj_ids
+    if src_global_ids is not None:
+        out["global_obj_ids"][:n_src] = src_global_ids
+    if ref_global_ids is not None:
+        out["global_obj_ids"][n : n + n_ref] = ref_global_ids
+
+    out["n_src"] = np.int32(n_src)
+    out["n_ref"] = np.int32(n_ref)
+    out["overlap"] = np.float32(overlap)
+    return out
+
+
+def collate(samples: list[dict[str, np.ndarray]]) -> PairBatch:
+    """Stack padded single-pair samples into a batch (plain np.stack per leaf)."""
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def flat_index(batch: PairBatch, idx: np.ndarray, pair: np.ndarray) -> np.ndarray:
+    """Convert per-pair slot indices to flat indices into [B*2N, ...] arrays."""
+    two_n = batch["obj_mask"].shape[1]
+    return pair * two_n + idx
+
+
+def pad_batch_to(batch: PairBatch, target_b: int) -> PairBatch:
+    """Pad the pair axis with empty pairs (for sharding-divisibility)."""
+    b = batch["overlap"].shape[0]
+    if b == target_b:
+        return batch
+    if b > target_b:
+        raise ValueError(f"batch {b} > target {target_b}")
+    out = {}
+    for k, v in batch.items():
+        pad = np.zeros((target_b - b,) + v.shape[1:], v.dtype)
+        if k == "overlap":
+            pad -= 1.0
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out

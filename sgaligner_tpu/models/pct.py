@@ -1,0 +1,122 @@
+"""NaivePCT object encoder (flax.linen).
+
+Equivalent of /root/reference/src/aligner/networks/pct.py:275-317 (the encoder the
+released ground-truth config selects via ``modules: ['pct', ...]``): a 2-layer
+point embedding, four stacked self-attention (SA) blocks, feature concat, a
+1024-wide projection, global max-pool, and a 2-layer MLP head.
+
+TPU notes:
+* All Conv1d(k=1) become per-point Dense (MXU matmuls), channel-last.
+* BatchNorm here is REAL in the reference (unlike PointNetfeat's discarded BN) —
+  but our batch axis contains padded object slots, so plain BN would corrupt the
+  statistics. ``MaskedBatchNorm`` computes moments over valid slots only.
+* The SA block's quirks are preserved: q/k share one weight (pct.py:199), the
+  softmax axis and the ``bmm(x_v, attention)`` contraction direction follow the
+  reference exactly (pct.py:222-226) even though that attends over queries.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d with masked batch statistics (mask: valid rows)."""
+
+    features: int
+    momentum: float = 0.9  # torch default momentum 0.1 == flax-style 0.9 decay
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """x: [..., C]; mask broadcastable to x[..., 0] (True = valid)."""
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,), self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
+
+        if train:
+            m = mask.astype(jnp.float32)[..., None]
+            count = jnp.maximum(m.sum(), 1.0)
+            red = tuple(range(x.ndim - 1))
+            mean = (x * m).sum(red) / count
+            var = ((x - mean) ** 2 * m).sum(red) / count
+            if not self.is_initializing():
+                # torch running_var uses the unbiased estimator
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class SABlock(nn.Module):
+    """Self-attention block — SA (pct.py:187-232), quirks included."""
+
+    channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """x: [O, P, C] (points = sequence axis). mask: [O] valid objects."""
+        da = self.channels // 4
+        # q and k share ONE weight matrix (pct.py:199: q_conv.weight = k_conv.weight)
+        qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
+        x_q = qk(x)                                  # [O, P, da]
+        x_k = qk(x)                                  # same projection
+        x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
+
+        energy = jnp.einsum("opd,oqd->opq", x_q, x_k) / jnp.sqrt(float(da))
+        attention = nn.softmax(energy, axis=-1)      # softmax over q axis (quirk)
+        # reference: x_s = bmm(x_v[B,C,N], attention[B,N,N]) -> out[:, :, j] sums
+        # over the first attention index; channel-last equivalent:
+        x_s = jnp.einsum("opc,opq->oqc", x_v, attention)
+        x_s = nn.Dense(self.channels, dtype=self.dtype, name="trans")(x_s)
+        x_s = MaskedBatchNorm(self.channels, name="after_norm")(x_s, mask[:, None], train)
+        return x + nn.relu(x_s)
+
+
+class NaivePCT(nn.Module):
+    out_size: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        """points: [O, P, 3]; mask: [O] valid-object mask -> [O, out_size]."""
+        x = points.astype(self.dtype)
+        pm = mask[:, None]
+
+        # Embedding: 2 × (conv(no bias) + BN + relu) (pct.py:101-125)
+        for i in range(2):
+            x = nn.Dense(128, use_bias=False, dtype=self.dtype, name=f"emb{i}")(x)
+            x = MaskedBatchNorm(128, name=f"emb{i}_bn")(x, pm, train)
+            x = nn.relu(x)
+
+        feats = []
+        for i in range(4):
+            x = SABlock(128, dtype=self.dtype, name=f"sa{i + 1}")(x, mask, train)
+            feats.append(x)
+        x = jnp.concatenate(feats, axis=-1)          # [O, P, 512]
+
+        x = nn.Dense(1024, use_bias=False, dtype=self.dtype, name="linear")(x)
+        x = MaskedBatchNorm(1024, name="linear_bn")(x, pm, train)
+        x = nn.leaky_relu(x, 0.2)
+        x = jnp.max(x, axis=1)                       # [O, 1024]
+
+        x = nn.Dense(512, use_bias=False, dtype=self.dtype, name="linear1")(x)
+        x = MaskedBatchNorm(512, name="bn1")(x, mask, train)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(self.out_size, dtype=self.dtype, name="linear2")(x)
+        x = MaskedBatchNorm(self.out_size, name="bn2")(x, mask, train)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return x

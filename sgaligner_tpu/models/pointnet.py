@@ -1,0 +1,42 @@
+"""PointNet object encoder (flax.linen).
+
+TPU-native equivalent of the reference's PointNetfeat
+(/root/reference/src/aligner/networks/pointnet.py:87-175) as instantiated by the
+aligner: ``global_feat=True, input_transform=False, feature_transform=False,
+out_size=256`` (sg_aligner.py:58). Conv1d(k=1) stacks are per-point Dense layers —
+pure matmuls that XLA tiles onto the MXU; inputs are channel-last ``[O, P, 3]``.
+
+Quirk policy (SURVEY §7): the reference *calls BatchNorm but discards its output*
+(``self.bn1(x)`` unassigned, pointnet.py:141-159), so the effective network is
+conv→relu ×3 → max-pool. ``bn_mode="parity"`` replicates that (no BN at all, the
+checkpoint-compatible default); ``bn_mode="active"`` applies real BN.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class PointNetEncoder(nn.Module):
+    out_size: int = 256
+    bn_mode: str = "parity"  # "parity" | "active"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """points: [O, P, 3] -> [O, out_size]."""
+        x = points.astype(self.dtype)
+
+        def block(x, feats, name):
+            x = nn.Dense(feats, name=name, dtype=self.dtype,
+                         kernel_init=nn.initializers.xavier_normal())(x)
+            if self.bn_mode == "active":
+                x = nn.BatchNorm(use_running_average=not train, name=f"{name}_bn",
+                                 dtype=self.dtype)(x)
+            return nn.relu(x)
+
+        x = block(x, 64, "conv1")
+        x = block(x, 128, "conv2")
+        x = block(x, self.out_size, "conv3")
+        return jnp.max(x, axis=1)  # global max-pool over points

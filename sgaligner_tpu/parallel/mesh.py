@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers.
+
+The reference's distributed path is vestigial DDP that can never run
+(/root/reference/src/engine/base_trainer.py:70,144-152 — ``self.distributed`` is
+hard-set False and init_process_group is never called). Here data parallelism is
+first-class: a 1-D ``jax.sharding.Mesh`` over all addressable devices with axis
+``"dp"``; batches are sharded along the leading pair axis, parameters replicated,
+and gradient/metric reductions become XLA ``psum`` collectives inserted by GSPMD
+under ``jit`` — riding ICI on real multi-chip topologies.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh. dp=0 → all available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if dp <= 0:
+        dp = len(devices)
+    if dp > len(devices):
+        raise ValueError(f"requested dp={dp} > {len(devices)} devices")
+    return Mesh(np.array(devices[:dp]), axis_names=("dp",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (pair) axis of every batch leaf over 'dp'."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, pad: bool = True) -> dict:
+    """Device-put a host batch with the pair axis sharded over the mesh.
+
+    When the pair count is not divisible by the mesh size, the batch is padded
+    with empty (fully-masked) pairs — they contribute nothing to the masked
+    losses/metrics. Requires numpy leaves when padding kicks in.
+    """
+    dp = mesh.shape["dp"]
+    b = batch["obj_mask"].shape[0]
+    if pad and b % dp != 0:
+        from sgaligner_tpu.data.batch import pad_batch_to
+
+        batch = pad_batch_to(batch, ((b + dp - 1) // dp) * dp)
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def dp_size(mesh: Mesh) -> int:
+    return mesh.shape["dp"]

@@ -1,0 +1,236 @@
+"""Synthetic on-disk workspaces in the reference's processed-data layout.
+
+The reference ships no graph fixtures (SURVEY.md §4), so tests and CLI smoke runs
+manufacture a tiny workspace matching the exact directory contract consumed by
+Scan3RDataset (/root/reference/src/datasets/scan3r.py:21-33):
+
+    <subscan_dir>/scans/<scan_id>/data.npy                 structured point cloud
+    <subscan_dir>/files/<mode>/data/<scan_id>.pkl          preprocessed graph dict
+    <subscan_dir>/files/<mode>/anchors_<split>.json        pair list w/ anchors
+    <subscan_dir>/files/<mode>/<split>_scans_subscenes.txt
+
+The pkl schema follows preprocess.py:195-211 + the BoW passes (:269-361).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+import numpy as np
+
+from sgaligner_tpu.utils.io import (
+    ensure_dir,
+    make_ply_npy,
+    write_json,
+    write_pkl_data,
+)
+
+REL_DIM = 41
+ATTR_DIM = 164
+
+
+def _make_subscan(rng: np.random.Generator, scan_id: str, object_ids: np.ndarray,
+                  centers: np.ndarray, local_geoms: list[np.ndarray],
+                  pc_resolutions: list[int]) -> tuple[dict, np.ndarray]:
+    """Build one subscan's pkl dict + structured point cloud."""
+    n = len(object_ids)
+    all_pts, all_oids = [], []
+    obj_points = {res: [] for res in pc_resolutions}
+    for i in range(n):
+        pts = local_geoms[i] + centers[i]
+        all_pts.append(pts)
+        all_oids.append(np.full(len(pts), object_ids[i]))
+        for res in pc_resolutions:
+            sel = rng.choice(len(pts), res, replace=len(pts) < res)
+            obj_points[res].append(pts[sel].astype(np.float32))
+    for res in pc_resolutions:
+        obj_points[res] = np.stack(obj_points[res])
+
+    # dense 'none'-completed directed edge set in id space -> idx space
+    object_id2idx = {int(v): i for i, v in enumerate(object_ids)}
+    pairs, triples, edges_cat = [], [], []
+    for a in object_ids:
+        for b in object_ids:
+            if a == b:
+                continue
+            rel = int(rng.integers(0, REL_DIM))
+            pairs.append([int(a), int(b)])
+            triples.append([int(a), int(b), rel])
+            edges_cat.append(rel)
+    edges = np.array([[object_id2idx[s], object_id2idx[o]] for s, o in pairs],
+                     dtype=np.int64)
+
+    root_idx = 0
+    rel_trans = (centers[root_idx] - centers).astype(np.float64)
+
+    bow_rel = rng.integers(0, 3, size=(n, REL_DIM)).astype(np.float64)
+    bow_attr = (rng.random((n, ATTR_DIM)) < 0.05).astype(np.float64)
+
+    pkl = {
+        "scan_id": scan_id,
+        "objects_id": object_ids.astype(np.int64),
+        "global_objects_id": (object_ids % 40).astype(np.int64),
+        "objects_cat": (object_ids % 40).astype(np.int64),
+        "triples": triples,
+        "pairs": pairs,
+        "edges": edges,
+        "obj_points": obj_points,
+        "objects_count": n,
+        "edges_count": len(edges),
+        "object_id2idx": object_id2idx,
+        "object_attributes": [[] for _ in range(n)],
+        "edges_cat": edges_cat,
+        "rel_trans": rel_trans,
+        "root_obj_id": int(object_ids[root_idx]),
+        "bow_vec_object_edge_feats": bow_rel,
+        "bow_vec_object_attr_feats": bow_attr,
+    }
+    points = np.concatenate(all_pts)
+    rec = make_ply_npy(points.astype(np.float32), np.concatenate(all_oids))
+    return pkl, rec
+
+
+def make_synthetic_workspace(
+    root: str,
+    split: str = "val",
+    mode: str = "orig",
+    n_pairs: int = 3,
+    n_shared: int = 4,
+    n_extra: int = 3,
+    pts_per_obj: int = 80,
+    pc_resolutions: list[int] | None = None,
+    seed: int = 0,
+) -> dict:
+    """Write a workspace of ``n_pairs`` overlapping subscan pairs; returns info."""
+    pc_resolutions = pc_resolutions or [64]
+    rng = np.random.default_rng(seed)
+    scans_dir = osp.join(root, "scans")
+    files_dir = osp.join(root, "files", mode)
+    ensure_dir(osp.join(files_dir, "data"))
+
+    anchors, scan_ids = [], []
+    for p in range(n_pairs):
+        shared_ids = np.arange(1, n_shared + 1)
+        shared_geoms = [rng.normal(0, 0.3, size=(pts_per_obj, 3)) for _ in shared_ids]
+        shared_centers = rng.uniform(-3, 3, size=(n_shared, 3))
+
+        pair_scans = {}
+        for side in ("src", "ref"):
+            extra_lo = 100 if side == "src" else 200
+            extra_ids = np.arange(extra_lo, extra_lo + n_extra)
+            ids = np.concatenate([shared_ids, extra_ids])
+            geoms = shared_geoms + [rng.normal(0, 0.3, size=(pts_per_obj, 3))
+                                    for _ in extra_ids]
+            centers = np.concatenate(
+                [shared_centers + rng.normal(0, 0.01, shared_centers.shape),
+                 rng.uniform(-3, 3, size=(n_extra, 3))])
+            scan_id = f"scene{p:02d}_{side}"
+            pkl, rec = _make_subscan(rng, scan_id, ids, centers, geoms,
+                                     pc_resolutions)
+            ensure_dir(osp.join(scans_dir, scan_id))
+            np.save(osp.join(scans_dir, scan_id, "data.npy"), rec)
+            write_pkl_data(pkl, osp.join(files_dir, "data", f"{scan_id}.pkl"))
+            pair_scans[side] = scan_id
+            scan_ids.append(scan_id)
+
+        anchors.append({
+            "src": pair_scans["src"],
+            "ref": pair_scans["ref"],
+            "overlap": float(rng.uniform(0.2, 0.8)),
+            "anchorIds": [int(i) for i in shared_ids],
+        })
+
+    write_json(anchors, osp.join(files_dir, f"anchors_{split}.json"))
+    with open(osp.join(files_dir, f"{split}_scans_subscenes.txt"), "w") as f:
+        f.write("\n".join(scan_ids))
+    return {"anchors": anchors, "scan_ids": scan_ids,
+            "pc_resolutions": pc_resolutions}
+
+
+# ---------------------------------------------------------------------------
+# Raw (pre-preprocessing) workspace — input format of data/preprocess.py
+# ---------------------------------------------------------------------------
+
+RELATION_NAMES = [f"rel{i}" for i in range(REL_DIM - 1)] + ["none"]
+ATTRIBUTE_NAMES = [f"attr{i}" for i in range(12)]
+
+
+def make_raw_workspace(
+    root: str,
+    split: str = "val",
+    n_pairs: int = 2,
+    n_shared: int = 4,
+    n_extra: int = 2,
+    pts_per_obj: int = 120,
+    seed: int = 0,
+) -> dict:
+    """Write a raw subscan workspace: structured data.npy per subscan plus the
+    3DSSG-style relationships/objects jsons and anchors
+    (format of /root/reference/preprocessing/scan3r/preprocess.py:230-237)."""
+    rng = np.random.default_rng(seed)
+    scans_dir = osp.join(root, "scans")
+    files_dir = osp.join(root, "files")
+    ensure_dir(files_dir)
+
+    rel_scans, obj_scans, anchors, scan_ids = [], [], [], []
+    for p in range(n_pairs):
+        shared_ids = np.arange(1, n_shared + 1)
+        shared_geoms = [rng.normal(0, 0.3, size=(pts_per_obj, 3))
+                        for _ in shared_ids]
+        shared_centers = rng.uniform(-3, 3, size=(n_shared, 3))
+
+        pair = {}
+        for side in ("src", "ref"):
+            extra_lo = 100 if side == "src" else 200
+            extra_ids = np.arange(extra_lo, extra_lo + n_extra)
+            ids = np.concatenate([shared_ids, extra_ids])
+            geoms = shared_geoms + [rng.normal(0, 0.3, size=(pts_per_obj, 3))
+                                    for _ in extra_ids]
+            centers = np.concatenate([shared_centers,
+                                      rng.uniform(-3, 3, size=(n_extra, 3))])
+            scan_id = f"raw{p:02d}_{side}"
+            all_pts = np.concatenate([g + c for g, c in zip(geoms, centers)])
+            all_oids = np.concatenate(
+                [np.full(pts_per_obj, i) for i in ids])
+            ensure_dir(osp.join(scans_dir, scan_id))
+            np.save(osp.join(scans_dir, scan_id, "data.npy"),
+                    make_ply_npy(all_pts.astype(np.float32), all_oids))
+
+            # sparse relationships (subject, object, rel_id, rel_name)
+            rels = []
+            for a in ids:
+                for b in ids:
+                    if a != b and rng.random() < 0.3:
+                        ridx = int(rng.integers(0, REL_DIM - 1))
+                        rels.append([int(a), int(b), ridx,
+                                     RELATION_NAMES[ridx]])
+            if not rels:  # guarantee at least one relation
+                ridx = 0
+                rels.append([int(ids[0]), int(ids[1]), ridx,
+                             RELATION_NAMES[ridx]])
+            rel_scans.append({"scan": scan_id, "relationships": rels})
+            obj_scans.append({"scan": scan_id, "objects": [
+                {"id": str(int(i)), "global_id": str(int(i) % 40),
+                 "label": f"obj{int(i)}",
+                 "attributes": {"state": [
+                     ATTRIBUTE_NAMES[int(rng.integers(0, len(ATTRIBUTE_NAMES)))]
+                 ]}}
+                for i in ids]})
+            pair[side] = scan_id
+            scan_ids.append(scan_id)
+
+        anchors.append({"src": pair["src"], "ref": pair["ref"],
+                        "overlap": float(rng.uniform(0.2, 0.8)),
+                        "anchorIds": [int(i) for i in shared_ids]})
+
+    write_json({"scans": rel_scans},
+               osp.join(files_dir, f"relationships_subscenes_{split}.json"))
+    write_json({"scans": obj_scans},
+               osp.join(files_dir, f"objects_subscenes_{split}.json"))
+    write_json(anchors, osp.join(files_dir, f"anchors_{split}.json"))
+    with open(osp.join(files_dir, f"{split}_scans_subscenes.txt"), "w") as f:
+        f.write("\n".join(scan_ids))
+    with open(osp.join(files_dir, "relationships.txt"), "w") as f:
+        f.write("\n".join(RELATION_NAMES))
+    return {"anchors": anchors, "scan_ids": scan_ids,
+            "rel2idx": {n: i for i, n in enumerate(RELATION_NAMES)}}

@@ -100,8 +100,15 @@ def make_synthetic_workspace(
     pts_per_obj: int = 80,
     pc_resolutions: list[int] | None = None,
     seed: int = 0,
+    n_nonoverlap_pairs: int = 0,
 ) -> dict:
-    """Write a workspace of ``n_pairs`` overlapping subscan pairs; returns info."""
+    """Write a workspace of ``n_pairs`` overlapping subscan pairs; returns info.
+
+    ``n_nonoverlap_pairs`` additionally emits pairs with zero shared objects and
+    overlap 0.0 (the overlapper-eval fileset, reference
+    gen_all_pairs_fileset.py:12-53). Also writes a scan->subscan map json
+    (``scan_subscan_map_<split>.json``) treating each pair as two subscans of
+    one scan, for mosaicking."""
     pc_resolutions = pc_resolutions or [64]
     rng = np.random.default_rng(seed)
     scans_dir = osp.join(root, "scans")
@@ -109,7 +116,9 @@ def make_synthetic_workspace(
     ensure_dir(osp.join(files_dir, "data"))
 
     anchors, scan_ids = [], []
-    for p in range(n_pairs):
+    scan_subscan_map: dict[str, list[str]] = {}
+    for p in range(n_pairs + n_nonoverlap_pairs):
+        overlapping = p < n_pairs
         shared_ids = np.arange(1, n_shared + 1)
         shared_geoms = [rng.normal(0, 0.3, size=(pts_per_obj, 3)) for _ in shared_ids]
         shared_centers = rng.uniform(-3, 3, size=(n_shared, 3))
@@ -118,12 +127,23 @@ def make_synthetic_workspace(
         for side in ("src", "ref"):
             extra_lo = 100 if side == "src" else 200
             extra_ids = np.arange(extra_lo, extra_lo + n_extra)
-            ids = np.concatenate([shared_ids, extra_ids])
-            geoms = shared_geoms + [rng.normal(0, 0.3, size=(pts_per_obj, 3))
-                                    for _ in extra_ids]
-            centers = np.concatenate(
-                [shared_centers + rng.normal(0, 0.01, shared_centers.shape),
-                 rng.uniform(-3, 3, size=(n_extra, 3))])
+            if overlapping:
+                ids = np.concatenate([shared_ids, extra_ids])
+                geoms = shared_geoms + [rng.normal(0, 0.3, size=(pts_per_obj, 3))
+                                        for _ in extra_ids]
+                # shared objects are bit-identical across sides: real subscans
+                # carve the SAME scene cloud, and the GT-correspondence path
+                # relies on exact point matches (point_cloud.py:91-103)
+                centers = np.concatenate(
+                    [shared_centers, rng.uniform(-3, 3, size=(n_extra, 3))])
+            else:  # disjoint object sets, disjoint regions
+                lo = 1 if side == "src" else n_shared + 1
+                ids = np.concatenate([np.arange(lo, lo + n_shared), extra_ids])
+                offset = np.array([0.0, 0.0, 0.0]) if side == "src" else \
+                    np.array([20.0, 0.0, 0.0])
+                geoms = [rng.normal(0, 0.3, size=(pts_per_obj, 3))
+                         for _ in range(n_shared + n_extra)]
+                centers = rng.uniform(-3, 3, size=(n_shared + n_extra, 3)) + offset
             scan_id = f"scene{p:02d}_{side}"
             pkl, rec = _make_subscan(rng, scan_id, ids, centers, geoms,
                                      pc_resolutions)
@@ -136,15 +156,20 @@ def make_synthetic_workspace(
         anchors.append({
             "src": pair_scans["src"],
             "ref": pair_scans["ref"],
-            "overlap": float(rng.uniform(0.2, 0.8)),
-            "anchorIds": [int(i) for i in shared_ids],
+            "overlap": float(rng.uniform(0.2, 0.8)) if overlapping else 0.0,
+            "anchorIds": [int(i) for i in shared_ids] if overlapping else [],
         })
+        scan_subscan_map[f"scene{p:02d}"] = [pair_scans["src"],
+                                             pair_scans["ref"]]
 
     write_json(anchors, osp.join(files_dir, f"anchors_{split}.json"))
+    write_json(scan_subscan_map,
+               osp.join(files_dir, f"scan_subscan_map_{split}.json"))
     with open(osp.join(files_dir, f"{split}_scans_subscenes.txt"), "w") as f:
         f.write("\n".join(scan_ids))
     return {"anchors": anchors, "scan_ids": scan_ids,
-            "pc_resolutions": pc_resolutions}
+            "pc_resolutions": pc_resolutions,
+            "scan_subscan_map": scan_subscan_map}
 
 
 # ---------------------------------------------------------------------------

@@ -49,7 +49,12 @@ def main(argv=None) -> int:
     )
 
     data_dir = cfg.data.root_dir if cfg.scan_type == "scan" else cfg.data.subscan_dir
-    rel2idx = name2idx(osp.join(data_dir, "files", "relationships.txt"))
+    # the relation vocab ships with the RAW dataset; subscan generation copies
+    # it into the subscan workspace, but fall back to the raw dir
+    vocab_path = osp.join(data_dir, "files", "relationships.txt")
+    if not osp.exists(vocab_path) and cfg.data.root_dir:
+        vocab_path = osp.join(cfg.data.root_dir, "files", "relationships.txt")
+    rel2idx = name2idx(vocab_path)
 
     print(f"[INFO] preprocessing split={args.split} mode={pargs.mode}")
     _, data_write_dir = process_split(cfg, pargs, args.split, rel2idx,

@@ -173,6 +173,102 @@ def make_synthetic_workspace(
 
 
 # ---------------------------------------------------------------------------
+# Raw 3RScan scene workspace — input format of data/subscan_gen.py
+# ---------------------------------------------------------------------------
+
+
+def _write_ply(filename: str, rec: np.ndarray) -> None:
+    """Write the 3RScan annotated vertex layout as binary_little_endian PLY."""
+    header = "\n".join([
+        "ply", "format binary_little_endian 1.0",
+        f"element vertex {len(rec)}",
+        "property float x", "property float y", "property float z",
+        "property uchar red", "property uchar green", "property uchar blue",
+        "property short objectId", "property short globalId",
+        "property uchar NYU40", "property uchar Eigen13", "property uchar RIO27",
+        "end_header", ""])
+    with open(filename, "wb") as f:
+        f.write(header.encode("ascii"))
+        rec.tofile(f)
+
+
+def make_raw_scene_workspace(root: str, split: str = "train",
+                             n_scenes: int = 1, n_objects: int = 10,
+                             pts_per_obj: int = 300, n_frames: int = 12,
+                             seed: int = 0) -> dict:
+    """Write raw 3RScan-style scenes: annotated PLY + camera trajectory +
+    intrinsics + scene-level relationships/objects jsons + split list.
+
+    Objects are laid out along x; cameras slide along x looking down +z with a
+    narrow FoV, so consecutive frames reveal overlapping point subsets — the
+    trajectory walk in data/subscan_gen.py then carves multiple subscans.
+    """
+    rng = np.random.default_rng(seed)
+    scans_dir = osp.join(root, "scans")
+    files_dir = osp.join(root, "files")
+    ensure_dir(files_dir)
+
+    rels_json, objs_json, scan_ids = [], [], []
+    for s in range(n_scenes):
+        scan_id = f"rawscene{s:02d}"
+        scan_ids.append(scan_id)
+        seq_dir = osp.join(scans_dir, scan_id, "sequence")
+        ensure_dir(seq_dir)
+
+        ids = np.arange(1, n_objects + 1)
+        centers = np.stack([
+            np.linspace(0.5, 9.5, n_objects),
+            rng.uniform(0.5, 1.5, n_objects),
+            rng.uniform(0.5, 1.5, n_objects)], axis=1)
+        pts, oids = [], []
+        for i, oid in enumerate(ids):
+            pts.append(centers[i] + rng.normal(0, 0.25, (pts_per_obj, 3)))
+            oids.append(np.full(pts_per_obj, oid))
+        rec = make_ply_npy(np.concatenate(pts).astype(np.float32),
+                           np.concatenate(oids))
+        _write_ply(osp.join(scans_dir, scan_id,
+                            "labels.instances.align.annotated.v2.ply"), rec)
+
+        # intrinsics: fx=fy=400, cx=100, cy=75, width=150, height=200 —
+        # chosen so the reference's swapped bound check (u vs height, v vs
+        # width) passes for in-slab points
+        with open(osp.join(seq_dir, "_info.txt"), "w") as f:
+            f.write("m_colorWidth = 150\n")
+            f.write("m_colorHeight = 200\n")
+            f.write("m_calibrationColorIntrinsic = "
+                    "400 0 100 0 0 400 75 0 0 0 1 0 0 0 0 1\n")
+
+        for fi in range(n_frames):
+            tx = 10.0 * fi / max(n_frames - 1, 1)
+            pose = np.eye(4)
+            pose[:3, 3] = [tx, 1.0, -4.0]  # cam2world; looks along +z
+            np.savetxt(osp.join(seq_dir, f"frame-{fi:06d}.pose.txt"), pose)
+            open(osp.join(seq_dir, f"frame-{fi:06d}.color.jpg"), "wb").close()
+
+        rels = []
+        for a in ids:
+            for b in ids:
+                if a != b and abs(int(a) - int(b)) <= 2:
+                    ridx = int(rng.integers(0, REL_DIM - 1))
+                    rels.append([int(a), int(b), ridx, RELATION_NAMES[ridx]])
+        rels_json.append({"scan": scan_id, "relationships": rels})
+        objs_json.append({"scan": scan_id, "objects": [
+            {"id": str(int(i)), "global_id": str(int(i) % 40),
+             "label": f"obj{int(i)}",
+             "attributes": {"state": [ATTRIBUTE_NAMES[int(i) % len(ATTRIBUTE_NAMES)]]}}
+            for i in ids]})
+
+    write_json({"scans": rels_json}, osp.join(files_dir, "relationships.json"))
+    write_json({"scans": objs_json}, osp.join(files_dir, "objects.json"))
+    with open(osp.join(files_dir, f"{split}_scans.txt"), "w") as f:
+        f.write("\n".join(scan_ids))
+    with open(osp.join(files_dir, "relationships.txt"), "w") as f:
+        f.write("\n".join(RELATION_NAMES))
+    return {"scan_ids": scan_ids,
+            "rel2idx": {n: i for i, n in enumerate(RELATION_NAMES)}}
+
+
+# ---------------------------------------------------------------------------
 # Raw (pre-preprocessing) workspace — input format of data/preprocess.py
 # ---------------------------------------------------------------------------
 

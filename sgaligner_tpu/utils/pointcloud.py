@@ -62,17 +62,37 @@ def pcl_farthest_sample(point: np.ndarray, npoint: int, return_idxs: bool = Fals
     return (out, centroids.astype(np.int32)) if return_idxs else out
 
 
+def _native_kdtree(points: np.ndarray):
+    """The C++ KD-tree when built + worthwhile; None otherwise."""
+    try:
+        from sgaligner_tpu import native
+
+        if native.available():
+            return native.KDTree(points)
+    except Exception:
+        pass
+    return None
+
+
 def compute_pcl_overlap(source: np.ndarray, target: np.ndarray,
                         threshold: float = 1e-7):
     """Overlap ratio source->target (point_cloud.py:91-103).
 
     The reference uses Open3D-ML RadiusSearch with an exact-match radius; a
-    KD-tree ball query gives identical semantics on the host.
+    KD-tree radius-existence query gives identical semantics on the host
+    (native C++ lib when available, scipy otherwise).
     """
-    tree = cKDTree(np.asarray(target, np.float64))
-    neighbors = tree.query_ball_point(np.asarray(source, np.float64), threshold)
-    common_pts_idx_src = np.array(
-        [i for i, lst in enumerate(neighbors) if lst], dtype=np.int64)
+    source = np.asarray(source)
+    tree = _native_kdtree(target) if len(target) > 5000 else None
+    if tree is not None:
+        mask = tree.radius_exists(source, threshold)
+        common_pts_idx_src = np.where(mask)[0].astype(np.int64)
+    else:
+        ctree = cKDTree(np.asarray(target, np.float64))
+        neighbors = ctree.query_ball_point(np.asarray(source, np.float64),
+                                           threshold)
+        common_pts_idx_src = np.array(
+            [i for i, lst in enumerate(neighbors) if lst], dtype=np.int64)
     overlap_ratio = round(common_pts_idx_src.shape[0] / source.shape[0], 4)
     return overlap_ratio, common_pts_idx_src
 
@@ -112,9 +132,17 @@ def get_visible_pts_from_cam_pose(scene_pts: np.ndarray, cam_2_world_pose: np.nd
 
 def get_nearest_neighbor(q_points: np.ndarray, s_points: np.ndarray,
                          return_index: bool = False):
-    """KD-tree 1-NN distances (point_cloud.py:136-147)."""
-    tree = cKDTree(s_points)
-    distances, indices = tree.query(q_points, k=1)
+    """KD-tree 1-NN distances (point_cloud.py:136-147).
+
+    Uses the native C++ KD-tree (OpenMP-parallel) for large support sets,
+    scipy otherwise.
+    """
+    tree = _native_kdtree(s_points) if len(s_points) > 5000 else None
+    if tree is not None:
+        distances, indices = tree.query(np.atleast_2d(q_points))
+    else:
+        ctree = cKDTree(s_points)
+        distances, indices = ctree.query(q_points, k=1)
     return (distances, indices) if return_index else distances
 
 

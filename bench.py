@@ -40,6 +40,8 @@ def main() -> None:
     cfg = make_cfg(model_name="sgaligner", modules=["point", "gat", "rel", "attr"])
     cfg.tpu.max_objects = MAX_OBJECTS
     cfg.tpu.points_per_object = POINTS_PER_OBJECT
+    # production config: bf16 compute (f32 params/accum), fused Pallas PointNet
+    cfg.tpu.compute_dtype = "bfloat16"
 
     spec = BatchSpec(batch_size=BATCH_SIZE, max_objects=MAX_OBJECTS,
                      points_per_object=POINTS_PER_OBJECT)
@@ -54,12 +56,16 @@ def main() -> None:
 
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
+    # NOTE: time with an actual value readback, not block_until_ready — under
+    # tunneled/remote PJRT backends block_until_ready can return at dispatch
+    # time. Steps are chained through the donated state, so fetching the final
+    # loss forces every step in the window to complete.
     t0 = time.perf_counter()
     for _ in range(BENCH_STEPS):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH_SIZE * BENCH_STEPS / dt

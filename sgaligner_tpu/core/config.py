@@ -91,6 +91,14 @@ class OptimConfig:
     weight_decay: float = 1e-6
     max_epoch: int = 50
     grad_acc_steps: int = 1
+    # The reference's ExponentialLR is commented out (trainval_sgaligner.py:55-56)
+    # so training runs at constant LR; "exponential" opts into the decay the
+    # cfg keys describe, "cosine"/"warmup-cosine" mirror the unused helpers in
+    # the reference's utils/torch_util.py:110-145.
+    scheduler: str = "none"
+    warmup_steps: int = 0
+    # steps per epoch for epoch-denominated schedules; 0 = decay per step
+    steps_per_epoch: int = 0
 
 
 @dataclass

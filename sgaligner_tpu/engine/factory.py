@@ -43,13 +43,39 @@ def build_model(cfg: Config):
     )
 
 
+def build_lr_schedule(cfg: Config):
+    """LR schedule per cfg.optim.scheduler.
+
+    The reference trains at constant LR (its ExponentialLR is commented out,
+    trainval_sgaligner.py:55-56); "exponential" applies
+    ``lr * lr_decay^(epoch / lr_decay_steps)`` using ``steps_per_epoch`` as the
+    epoch denominator, and "cosine"/"warmup-cosine" mirror the unused schedule
+    helpers in the reference's utils/torch_util.py:110-145.
+    """
+    o = cfg.optim
+    if o.scheduler in ("none", "", None):
+        return o.lr
+    if o.scheduler == "exponential":
+        per = max(o.steps_per_epoch, 1) * max(o.lr_decay_steps, 1)
+        return lambda step: o.lr * (o.lr_decay ** (step // per))
+    total = max(o.steps_per_epoch, 1) * o.max_epoch
+    if o.scheduler == "cosine":
+        return optax.cosine_decay_schedule(o.lr, decay_steps=max(total, 1))
+    if o.scheduler == "warmup-cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, o.lr, warmup_steps=max(o.warmup_steps, 1),
+            decay_steps=max(total, o.warmup_steps + 1))
+    raise ValueError(f"unknown scheduler {o.scheduler!r}")
+
+
 def build_optimizer(cfg: Config) -> optax.GradientTransformation:
     """torch.optim.Adam semantics: L2 weight decay folded into the gradient
     *before* the Adam moments (unlike AdamW's decoupled decay)."""
+    schedule = build_lr_schedule(cfg)
     tx = optax.chain(
         optax.add_decayed_weights(cfg.optim.weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale(-cfg.optim.lr),
+        optax.scale_by_learning_rate(schedule),
     )
     if cfg.optim.grad_acc_steps > 1:
         tx = optax.MultiSteps(tx, cfg.optim.grad_acc_steps)

@@ -15,18 +15,48 @@ checkpoint-compatible default); ``bn_mode="active"`` applies real BN.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class _ConvParams(nn.Module):
+    """Parameter container matching nn.Dense's {kernel, bias} tree."""
+
+    din: int
+    dout: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.xavier_normal(),
+                       (self.din, self.dout), self.dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.dout,), self.dtype)
+        return k, b
 
 
 class PointNetEncoder(nn.Module):
     out_size: int = 256
     bn_mode: str = "parity"  # "parity" | "active"
     dtype: jnp.dtype = jnp.float32
+    # use the fused Pallas kernel (ops/pointnet_fused.py) on TPU in parity
+    # mode — same math, activations stay in VMEM; "never" forces the XLA path
+    fused: str = "auto"  # "auto" | "never"
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """points: [O, P, 3] -> [O, out_size]."""
         x = points.astype(self.dtype)
+
+        if (self.fused == "auto" and self.bn_mode == "parity"
+                and jax.default_backend() not in ("cpu",)):
+            from sgaligner_tpu.ops.pointnet_fused import pointnet_fused
+
+            # same param tree as the Dense path: {convN: {kernel, bias}}
+            (w1, b1) = _ConvParams(3, 64, self.dtype, name="conv1")()
+            (w2, b2) = _ConvParams(64, 128, self.dtype, name="conv2")()
+            (w3, b3) = _ConvParams(128, self.out_size, self.dtype,
+                                   name="conv3")()
+            return pointnet_fused(x, w1, b1[None], w2, b2[None], w3, b3[None])
 
         def block(x, feats, name):
             x = nn.Dense(feats, name=name, dtype=self.dtype,

@@ -1,0 +1,78 @@
+"""NaivePCT encoder tests: shapes, masked-BN padding independence, engine path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sgaligner_tpu.core.config import make_cfg
+from sgaligner_tpu.data.batch import BatchSpec
+from sgaligner_tpu.data.synthetic import make_synthetic_batch
+from sgaligner_tpu.engine.factory import build_model, build_optimizer
+from sgaligner_tpu.engine.train_step import create_train_state, make_train_step
+from sgaligner_tpu.models.pct import NaivePCT
+from sgaligner_tpu.ops.objective import init_loss_params
+
+
+def test_pct_forward_shape():
+    rng = np.random.default_rng(0)
+    pts = jnp.array(rng.normal(size=(6, 32, 3)).astype(np.float32))
+    mask = jnp.array([True] * 4 + [False] * 2)
+    model = NaivePCT(out_size=256)
+    variables = model.init(jax.random.key(0), pts, mask, train=False)
+    out = model.apply(variables, pts, mask, train=False)
+    assert out.shape == (6, 256)
+    assert "batch_stats" in variables
+
+
+def test_pct_masked_bn_padding_independent():
+    """Training-mode batch statistics must ignore padded object slots: the
+    valid outputs are identical whether or not garbage slots are present."""
+    rng = np.random.default_rng(1)
+    valid = rng.normal(size=(4, 16, 3)).astype(np.float32)
+    garbage = 100.0 * rng.normal(size=(3, 16, 3)).astype(np.float32)
+
+    model = NaivePCT(out_size=64)
+    padded_pts = np.concatenate([valid, garbage])
+
+    def train_stats(pts, mask):
+        variables = model.init(jax.random.key(0), jnp.array(pts),
+                               jnp.array(mask), train=False)
+        _, upd = model.apply(variables, jnp.array(pts), jnp.array(mask),
+                             train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.key(0)})
+        return upd["batch_stats"]
+
+    stats_clean = train_stats(valid, np.ones(4, bool))
+    stats_padded = train_stats(padded_pts, np.array([True] * 4 + [False] * 3))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        stats_clean, stats_padded)
+
+
+def test_pct_engine_train_step():
+    """Full 4-modality model with the PCT encoder (the released GT config,
+    scan3r_ground_truth.yaml) trains: batch_stats threading + dropout rngs."""
+    cfg = make_cfg(model_name="sgaligner",
+                   modules=["pct", "gat", "rel", "attr"])
+    cfg.tpu.max_objects = 8
+    spec = BatchSpec(batch_size=2, max_objects=8, points_per_object=16)
+    batch = make_synthetic_batch(spec, seed=0)
+
+    model = build_model(cfg)
+    tx = build_optimizer(cfg)
+    state = create_train_state(model, tx, batch, init_loss_params(4),
+                               jax.random.key(0))
+    assert state.batch_stats, "PCT model must carry batch_stats"
+    step = make_train_step(model, tx, tuple(cfg.modules))
+    l0 = None
+    for i in range(8):
+        state, metrics = step(state, batch)
+        if i == 0:
+            l0 = float(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < l0
+    # running stats actually moved
+    flat = jax.tree.leaves(state.batch_stats)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in flat)

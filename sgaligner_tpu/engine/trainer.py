@@ -44,14 +44,18 @@ class Trainer:
         val_loader: Callable[[], Iterable[dict[str, np.ndarray]]] | None = None,
         best_on_last_batch: bool = False,
         log_file: str | None = None,
+        profile_dir: str | None = None,
     ):
         self.cfg = cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.best_on_last_batch = best_on_last_batch
+        # jax.profiler trace of the 2nd epoch (post-compile) when set
+        self.profile_dir = profile_dir
         if log_file is None and cfg.log_dir:
             log_file = osp.join(cfg.log_dir, "train.log")
         self.logger = Logger(log_file)
+        self.writer = self._make_event_writer(cfg.event_dir)
 
         self.mesh = make_mesh(cfg.tpu.dp)
         self.model = build_model(cfg)
@@ -66,6 +70,26 @@ class Trainer:
         self.state: TrainState | None = None
         self.epoch = 0
         self.best_val_loss = float("inf")
+
+    @staticmethod
+    def _make_event_writer(event_dir: str):
+        """TensorBoard scalars per epoch (reference base_trainer.py:39-41,
+        211-214); optional — requires torch's bundled tensorboard writer."""
+        if not event_dir:
+            return None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(event_dir)
+        except Exception:
+            return None
+
+    def _write_scalars(self, phase: str, summary: dict, step: int) -> None:
+        if self.writer is None:
+            return
+        for k, v in summary.items():
+            self.writer.add_scalar(f"{phase}/{k}", v, step)
+        self.writer.flush()
 
     # -- state ------------------------------------------------------------
     def init_state(self, example_batch: dict[str, np.ndarray]) -> None:
@@ -190,9 +214,20 @@ class Trainer:
         history = []
         while self.epoch < self.cfg.optim.max_epoch:
             self.epoch += 1
+            profiling = self.profile_dir is not None and self.epoch == 2
+            if profiling:
+                from jax import profiler as _profiler
+
+                _profiler.start_trace(self.profile_dir)
             train_summary = self.train_epoch()
+            if profiling:
+                from jax import profiler as _profiler
+
+                _profiler.stop_trace()
+                self.logger.info(f"profiler trace written to {self.profile_dir}")
             self.logger.info(f"[epoch {self.epoch}] train: " + ", ".join(
                 f"{k}: {v:.4f}" for k, v in train_summary.items()))
+            self._write_scalars("train", train_summary, self.epoch)
             if self.cfg.snapshot_dir:
                 self.save_epoch_snapshot()
             entry: dict[str, Any] = {"epoch": self.epoch, "train": train_summary}
@@ -200,6 +235,7 @@ class Trainer:
                 val_summary = self.inference_epoch()
                 self.logger.info(f"[epoch {self.epoch}] val: " + ", ".join(
                     f"{k}: {v:.4f}" for k, v in val_summary.items()))
+                self._write_scalars("val", val_summary, self.epoch)
                 key = ("last_batch_loss" if self.best_on_last_batch else "loss")
                 if val_summary[key] < self.best_val_loss and self.cfg.snapshot_dir:
                     self.best_val_loss = val_summary[key]

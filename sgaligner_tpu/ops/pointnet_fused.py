@@ -1,18 +1,22 @@
 """Fused Pallas PointNet encoder: conv1x1 -> relu (x3) -> max-pool, one kernel.
 
-The PointNet stack over a batch's objects is the hot op of the training step
-(~70% of step time): three per-point matmuls over ~1M points whose
-[1M, 64/128/256]-wide activations XLA materializes in HBM between layers
-(matmul->matmul chains don't fuse), making the op HBM-bound. This kernel tiles
-(object, point-chunk) blocks into VMEM and runs the whole stack there —
-activations never touch HBM; traffic drops from ~2 GB/step to the 12 MB input
-+ 2 MB output.
+The PointNet stack over a batch's objects is the hot op of the training step:
+three per-point matmuls over ~1M points whose [1M, 64/128/256]-wide activations
+XLA materializes in HBM between layers (matmul->matmul chains don't fuse). This
+kernel tiles whole objects into VMEM and runs the full stack there —
+activations never touch HBM.
 
-Grid layout: ``(O/T, P/PP)`` — the output max (and its arg) accumulate into a
-revisited ``[T, C3]`` block across point chunks (TPU grid steps are sequential,
-so revisited blocks accumulate safely in VMEM). The backward kernel
-REMATERIALIZES the chunk activations (compute is cheap once traffic is gone)
-and accumulates weight grads across all grid steps in f32.
+Layout notes (the perf-critical part):
+* The caller passes points FLAT as ``[O*P, 3]`` — an ``[T, P, 3]`` block would
+  pad its 3-wide last dim to 128 lanes and the in-kernel flatten becomes a VPU
+  relayout storm. Flat blocks need no reshape; only the final ``[R, C3] ->
+  [T, P, C3]`` max-pool reshape remains, and that splits the sublane dim
+  (cheap).
+* 1-D grid over object tiles (``T`` objects == ``T*P`` rows per step); the
+  ``[T, C3]`` max output requires T % 8 == 0 (Mosaic block constraint).
+* The backward kernel REMATERIALIZES the forward per tile and accumulates
+  weight grads in f32 across sequential grid steps (revisited VMEM blocks);
+  relu masks are kept as bools instead of f32 pre-activations to cut live VMEM.
 
 Semantics match the parity-mode PointNetfeat (conv->relu x3, global max over
 points; BN discarded — reference pointnet.py:140-163). The max-pool gradient
@@ -29,110 +33,97 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = -1e30
-
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                out_ref, amax_ref):
-    t, pp, _ = x_ref.shape
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.full_like(out_ref, NEG)
-        amax_ref[:] = jnp.zeros_like(amax_ref)
-
-    # operands stay in the input dtype (bf16 runs at native MXU rate);
-    # accumulation is f32 via preferred_element_type
+                out_ref, amax_ref, *, t: int, p: int):
     f32 = jnp.float32
     dt = x_ref.dtype
-    x = x_ref[:].reshape(t * pp, 3)
+    x = x_ref[:]                                           # [T*P, 3]
     h = jnp.maximum(jnp.dot(x, w1_ref[:], preferred_element_type=f32)
                     + b1_ref[:].astype(f32), 0.0).astype(dt)
     h = jnp.maximum(jnp.dot(h, w2_ref[:], preferred_element_type=f32)
                     + b2_ref[:].astype(f32), 0.0).astype(dt)
     h3 = jnp.maximum(jnp.dot(h, w3_ref[:], preferred_element_type=f32)
                      + b3_ref[:].astype(f32), 0.0)
-    h3 = h3.reshape(t, pp, -1)
-    chunk_max = jnp.max(h3, axis=1)                       # [T, C3]
-    chunk_arg = jnp.argmax(h3, axis=1).astype(jnp.int32) + j * pp
-
-    better = chunk_max > out_ref[:]
-    out_ref[:] = jnp.where(better, chunk_max, out_ref[:])
-    amax_ref[:] = jnp.where(better, chunk_arg, amax_ref[:])
+    h3 = h3.reshape(t, p, -1)                              # sublane split
+    out_ref[:] = jnp.max(h3, axis=1)
+    amax_ref[:] = jnp.argmax(h3, axis=1).astype(jnp.int32)
 
 
 def _bwd_kernel(x_ref, dout_ref, amax_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 w3_ref, b3_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dw3_ref, db3_ref):
-    t, pp, _ = x_ref.shape
-    i, j = pl.program_id(0), pl.program_id(1)
+                dw3_ref, db3_ref, *, t: int, p: int):
     f32 = jnp.float32
+    dt = x_ref.dtype
+    i = pl.program_id(0)
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when(i == 0)
     def _():
         for ref in (dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    dt = x_ref.dtype
-    x = x_ref[:].reshape(t * pp, 3)
+    x = x_ref[:]                                           # [T*P, 3]
 
-    # rematerialized chunk forward; operands in input dtype, f32 accumulation
-    h1p = jnp.dot(x, w1_ref[:], preferred_element_type=f32) \
+    # rematerialized forward; keep bool relu masks, not f32 pre-activations
+    a1 = jnp.dot(x, w1_ref[:], preferred_element_type=f32) \
         + b1_ref[:].astype(f32)
-    h1 = jnp.maximum(h1p, 0.0).astype(dt)
-    h2p = jnp.dot(h1, w2_ref[:], preferred_element_type=f32) \
+    m1 = a1 > 0.0
+    h1 = jnp.maximum(a1, 0.0).astype(dt)
+    del a1
+    a2 = jnp.dot(h1, w2_ref[:], preferred_element_type=f32) \
         + b2_ref[:].astype(f32)
-    h2 = jnp.maximum(h2p, 0.0).astype(dt)
-    h3p = jnp.dot(h2, w3_ref[:], preferred_element_type=f32) \
+    m2 = a2 > 0.0
+    h2 = jnp.maximum(a2, 0.0).astype(dt)
+    del a2
+    a3 = jnp.dot(h2, w3_ref[:], preferred_element_type=f32) \
         + b3_ref[:].astype(f32)
+    m3 = a3 > 0.0
+    del a3
 
-    c3 = h3p.shape[-1]
-    # gradient routes to the global argmax element (torch.max semantics)
-    local_idx = jax.lax.broadcasted_iota(jnp.int32, (t, pp, c3), 1) + j * pp
-    picked = local_idx == amax_ref[:][:, None, :]          # [T, PP, C3]
+    c3 = w3_ref.shape[1]
+    # gradient routes to the argmax point of each (object, channel)
+    pt_idx = jax.lax.broadcasted_iota(jnp.int32, (t, p, c3), 1)
+    picked = pt_idx == amax_ref[:][:, None, :]
     dout = dout_ref[:].astype(f32)[:, None, :]
-    g3 = jnp.where(picked, dout, 0.0).reshape(t * pp, c3)
-    g3 = (g3 * (h3p > 0.0)).astype(dt)
+    g3 = jnp.where(picked, dout, 0.0).reshape(t * p, c3)
+    g3 = jnp.where(m3, g3, 0.0).astype(dt)
 
-    g2 = (jnp.dot(g3, w3_ref[:].T, preferred_element_type=f32)
-          * (h2p > 0.0)).astype(dt)
-    g1 = (jnp.dot(g2, w2_ref[:].T, preferred_element_type=f32)
-          * (h1p > 0.0)).astype(dt)
-    dx_ref[:] = jnp.dot(g1, w1_ref[:].T,
-                        preferred_element_type=f32).reshape(t, pp, 3).astype(
-        dx_ref.dtype)
+    def dg(g, w_ref):  # g @ w.T without materializing the transpose
+        return jax.lax.dot_general(g, w_ref[:], (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
 
-    dw3_ref[:] += jnp.dot(h2.T, g3, preferred_element_type=f32)
+    def wg(h, g):      # h.T @ g likewise
+        return jax.lax.dot_general(h, g, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    g2 = jnp.where(m2, dg(g3, w3_ref), 0.0).astype(dt)
+    g1 = jnp.where(m1, dg(g2, w2_ref), 0.0).astype(dt)
+    dx_ref[:] = dg(g1, w1_ref).astype(dx_ref.dtype)
+
+    dw3_ref[:] += wg(h2, g3)
     db3_ref[:] += g3.astype(f32).sum(axis=0, keepdims=True)
-    dw2_ref[:] += jnp.dot(h1.T, g2, preferred_element_type=f32)
+    dw2_ref[:] += wg(h1, g2)
     db2_ref[:] += g2.astype(f32).sum(axis=0, keepdims=True)
-    dw1_ref[:] += jnp.dot(x.T, g1, preferred_element_type=f32)
+    dw1_ref[:] += wg(x, g1)
     db1_ref[:] += g1.astype(f32).sum(axis=0, keepdims=True)
 
 
-def _pick_tiles(o: int, p: int, itemsize: int,
-                bwd: bool) -> tuple[int, int] | None:
-    """(objects, points) per grid step, budgeted against VMEM.
+def _pick_tile(o: int, p: int, itemsize: int, bwd: bool) -> int | None:
+    """Objects per grid step (whole-P rows), budgeted against ~16 MB VMEM.
 
-    The [T, C3] output block's sublane dim must be divisible by 8 (or == O);
-    rows = T*PP drives the live activation set (~900 B/row f32-equivalent in
-    fwd, ~1.8 kB/row in bwd with grads). Prefer large tiles: per-step matmuls
-    need enough rows to feed the MXU."""
-    budget = (4 if bwd else 8) * 2**20
-    per_row = (1800 if bwd else 900) * max(itemsize // 2, 1) // 2
-    for t in (128, 64, 32, 16, 8):
-        if o % t:
-            continue
-        for pp in (512, 256, 128, 64, 32, 16, 8):
-            if p % pp:
-                continue
-            if t * pp * per_row <= budget:
-                return t, pp
-    if o <= 8:
-        for pp in (512, 256, 128, 64, 32, 16, 8):
-            if p % pp == 0 and o * pp * per_row <= budget:
-                return o, pp
+    Live set ≈ rows * (x:128pad + h1:128 + h2:128 + h3:256 lanes) * itemsize in
+    fwd, roughly doubled in bwd (+ masks + grads); the [T, C3] output block
+    needs T % 8 == 0 (or T == O)."""
+    # Measured on v5e: bf16 bwd at 4096 rows fits (~12 MB actual); f32 bwd
+    # needs ~24 MB at the minimum legal tile (T=8) and must fall back to the
+    # unfused XLA path — bf16 is the production configuration anyway.
+    budget = (7 if bwd else 10) * 2**20
+    per_row = (1500 if bwd else 700) * itemsize // 2
+    for t in (64, 32, 16, 8):
+        if o % t == 0 and t * p * per_row <= budget:
+            return t
+    if o <= 8 and o * p * per_row <= budget:
+        return o
     return None
 
 
@@ -150,30 +141,28 @@ def _weight_specs():
 def _forward(x, w1, b1, w2, b2, w3, b3, interpret):
     o, p, _ = x.shape
     c3 = w3.shape[1]
-    tiles = _pick_tiles(o, p, x.dtype.itemsize, bwd=False)
-    if tiles is None:
+    t = _pick_tile(o, p, x.dtype.itemsize, bwd=False)
+    if t is None:
         return _unfused(x, w1, b1, w2, b2, w3, b3), None
-    t, pp = tiles
+    xf = x.reshape(o * p, 3)
     out, amax = pl.pallas_call(
-        _fwd_kernel,
-        grid=(o // t, p // pp),
+        partial(_fwd_kernel, t=t, p=p),
+        grid=(o // t,),
         in_specs=[
-            pl.BlockSpec((t, pp, 3), lambda i, j: (i, j, 0),
+            pl.BlockSpec((t * p, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *_weight_specs(),
         ],
         out_specs=[
-            pl.BlockSpec((t, c3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, c3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((o, c3), jnp.float32),
             jax.ShapeDtypeStruct((o, c3), jnp.int32),
         ],
         interpret=interpret,
-    )(x, w1, b1, w2, b2, w3, b3)
+    )(xf, w1, b1, w2, b2, w3, b3)
     return out.astype(x.dtype), amax
 
 
@@ -193,45 +182,36 @@ def _bwd_rule(interpret, residuals, dout):
     o, p, _ = x.shape
     c1, c2, c3 = w1.shape[1], w2.shape[1], w3.shape[1]
     f32 = jnp.float32
-    tiles = _pick_tiles(o, p, x.dtype.itemsize, bwd=True)
-    if tiles is None:
+    t = _pick_tile(o, p, x.dtype.itemsize, bwd=True)
+    if t is None or amax is None:
         def ref_fn(*a):
             return (_unfused(*a) * dout).sum()
         return jax.grad(ref_fn, argnums=tuple(range(7)))(x, w1, b1, w2, b2,
                                                          w3, b3)
-    t, pp = tiles
 
     grads = pl.pallas_call(
-        _bwd_kernel,
-        grid=(o // t, p // pp),
+        partial(_bwd_kernel, t=t, p=p),
+        grid=(o // t,),
         in_specs=[
-            pl.BlockSpec((t, pp, 3), lambda i, j: (i, j, 0),
+            pl.BlockSpec((t * p, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, c3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, c3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, c3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *_weight_specs(),
         ],
         out_specs=[
-            pl.BlockSpec((t, pp, 3), lambda i, j: (i, j, 0),
+            pl.BlockSpec((t * p, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             # weight/bias grads: same block every step -> sequential accumulate
-            pl.BlockSpec((3, c1), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c1), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c1, c2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c2, c3), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c3), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, c1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2, c3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((o, p, 3), x.dtype),
+            jax.ShapeDtypeStruct((o * p, 3), x.dtype),
             jax.ShapeDtypeStruct((3, c1), f32),
             jax.ShapeDtypeStruct((1, c1), f32),
             jax.ShapeDtypeStruct((c1, c2), f32),
@@ -240,10 +220,10 @@ def _bwd_rule(interpret, residuals, dout):
             jax.ShapeDtypeStruct((1, c3), f32),
         ],
         interpret=interpret,
-    )(x, dout, amax, w1, b1, w2, b2, w3, b3)
+    )(x.reshape(o * p, 3), dout, amax, w1, b1, w2, b2, w3, b3)
 
     dx, dw1, db1, dw2, db2, dw3, db3 = grads
-    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+    return (dx.reshape(o, p, 3), dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype),
             dw3.astype(w3.dtype), db3.astype(b3.dtype))
 

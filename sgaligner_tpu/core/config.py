@@ -145,6 +145,10 @@ class TpuConfig:
     compute_dtype: str = "float32"
     # Data-parallel mesh size (number of devices along the "dp" axis); 0 = all.
     dp: int = 0
+    # Object compaction: route only this many mask-compacted object slots per
+    # pair (out of 2*max_objects) through the point encoder. 0 = off. Must be
+    # >= the max real objects of any pair (validated at shard time).
+    compact_slots: int = 0
     # Pad the pair-batch dim to a multiple of dp.
     donate_batch: bool = True
 

@@ -39,6 +39,13 @@ class BatchSpec:
     points_per_object: int    # P
     rel_dim: int = 41
     attr_dim: int = 164
+    # Host-side object compaction: when > 0, point clouds ship as
+    # obj_points_compact [compact_slots, P, 3] holding only REAL objects
+    # (src then ref, in slot order) + a compact_idx slot map — the expensive
+    # point encoder then never sees padded slots, and the padded [2N, P, 3]
+    # array never exists (halves its HBM footprint at typical occupancy).
+    # Must be >= the max real objects of any pair; pack_pair validates.
+    compact_slots: int = 0
 
     @property
     def slots_per_pair(self) -> int:
@@ -71,8 +78,17 @@ PairBatch = dict[str, Any]
 def empty_pair_sample(spec: BatchSpec) -> dict[str, np.ndarray]:
     """An all-padding single-pair sample (no leading batch dim)."""
     n, p = spec.max_objects, spec.points_per_object
+    if spec.compact_slots > 0:
+        points_fields = {
+            "obj_points_compact": np.zeros((spec.compact_slots, p, 3),
+                                           np.float32),
+            "compact_idx": np.zeros((spec.compact_slots,), np.int32),
+            "compact_mask": np.zeros((spec.compact_slots,), bool),
+        }
+    else:
+        points_fields = {"obj_points": np.zeros((2 * n, p, 3), np.float32)}
     return {
-        "obj_points": np.zeros((2 * n, p, 3), np.float32),
+        **points_fields,
         "obj_mask": np.zeros((2 * n,), bool),
         "bow_rel": np.zeros((2 * n, spec.rel_dim), np.float32),
         "bow_attr": np.zeros((2 * n, spec.attr_dim), np.float32),
@@ -133,8 +149,19 @@ def pack_pair(
         raise ValueError(f"too many anchors ({a} > {n})")
 
     out = empty_pair_sample(spec)
-    out["obj_points"][:n_src] = src_points
-    out["obj_points"][n : n + n_ref] = ref_points
+    if spec.compact_slots > 0:
+        kc = spec.compact_slots
+        if n_src + n_ref > kc:
+            raise ValueError(
+                f"pair has {n_src + n_ref} real objects > compact_slots={kc}")
+        out["obj_points_compact"][:n_src] = src_points
+        out["obj_points_compact"][n_src : n_src + n_ref] = ref_points
+        out["compact_idx"][:n_src] = np.arange(n_src)
+        out["compact_idx"][n_src : n_src + n_ref] = n + np.arange(n_ref)
+        out["compact_mask"][: n_src + n_ref] = True
+    else:
+        out["obj_points"][:n_src] = src_points
+        out["obj_points"][n : n + n_ref] = ref_points
     out["obj_mask"][:n_src] = True
     out["obj_mask"][n : n + n_ref] = True
     out["bow_rel"][:n_src] = src_bow_rel

@@ -55,6 +55,7 @@ class Scan3RDataset:
             points_per_object=self.pc_resolution,
             rel_dim=cfg.model.rel_dim,
             attr_dim=cfg.model.attr_dim,
+            compact_slots=cfg.tpu.compact_slots,
         )
         self.rng = np.random.default_rng(cfg.seed)
 

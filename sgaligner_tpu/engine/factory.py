@@ -40,6 +40,7 @@ def build_model(cfg: Config):
         dropout=cfg.model.dropout,
         pointnet_bn_mode=cfg.model.pointnet_bn_mode,
         dtype=dtype,
+        compact_slots=cfg.tpu.compact_slots,
     )
 
 

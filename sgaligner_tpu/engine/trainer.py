@@ -32,7 +32,12 @@ from sgaligner_tpu.engine.train_step import (
     make_train_step,
 )
 from sgaligner_tpu.ops.objective import init_loss_params
-from sgaligner_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from sgaligner_tpu.parallel.mesh import (
+    make_mesh,
+    replicated,
+    shard_batch,
+    validate_compact_bound,
+)
 from sgaligner_tpu.utils.logging import Logger, StepTimer, SummaryBoard
 
 
@@ -146,6 +151,7 @@ class Trainer:
         board = SummaryBoard(last_n=None)
         timer = StepTimer()
         for it, batch in enumerate(self.train_loader()):
+            validate_compact_bound(batch, self.cfg.tpu.compact_slots)
             batch = shard_batch(batch, self.mesh)
             timer.record_prepare()
             self.state, metrics = self.train_step(self.state, batch)

@@ -38,6 +38,20 @@ class EVA(nn.Module):
         embs: dict[str, jnp.ndarray] = {}
         for module in self.modules:
             if module == "point":
+                if "obj_points_compact" in batch:
+                    from sgaligner_tpu.models.sg_aligner import compact_scatter
+
+                    pts = batch["obj_points_compact"].astype(self.dtype)
+                    pts = pts.reshape(-1, pts.shape[-2], 3)
+                    feat = PointNetEncoder(self.pt_out_dim,
+                                           self.pointnet_bn_mode,
+                                           dtype=self.dtype,
+                                           name="object_encoder")(pts,
+                                                                  train=train)
+                    emb = compact_scatter(feat, batch["compact_idx"],
+                                          batch["compact_mask"], two_n)
+                    embs[module] = emb.reshape(b * two_n, -1)
+                    continue
                 pts = batch["obj_points"].astype(self.dtype).reshape(b * two_n, -1, 3)
                 # EVA uses the raw 200-d PointNet feature, no projection (eva.py:75)
                 emb = PointNetEncoder(self.pt_out_dim, self.pointnet_bn_mode,

@@ -44,6 +44,33 @@ class MultiModalFusion(nn.Module):
         return jnp.concatenate(parts, axis=-1)
 
 
+def compact_gather(batch: dict[str, Any], k: int):
+    """Per-pair compaction indices: the first k slots after sorting valid
+    slots first (stable argsort of ~mask — pure device compute, static shape).
+
+    Real 3RScan pairs fill ~half their padded object slots; routing only the
+    compacted slots through the point encoder (the step's dominant cost,
+    PERF.md) cuts its work proportionally. Objects beyond k would be dropped —
+    parallel.mesh.shard_batch validates the bound on the host.
+    """
+    obj_mask = batch["obj_mask"]
+    order = jnp.argsort(~obj_mask, axis=1, stable=True)          # [B, 2N]
+    idx = order[:, :k]                                           # [B, K]
+    cmask = jnp.take_along_axis(obj_mask, idx, axis=1)           # [B, K]
+    return idx, cmask
+
+
+def compact_scatter(emb_c: jnp.ndarray, idx: jnp.ndarray, cmask: jnp.ndarray,
+                    two_n: int) -> jnp.ndarray:
+    """Scatter compacted per-object embeddings back to the full slot axis."""
+    b, k = idx.shape
+    d = emb_c.shape[-1]
+    emb_c = emb_c.reshape(b, k, d) * cmask[..., None].astype(emb_c.dtype)
+    flat_idx = (jnp.arange(b)[:, None] * two_n + idx).reshape(-1)
+    out = jnp.zeros((b * two_n, d), emb_c.dtype)
+    return out.at[flat_idx].add(emb_c.reshape(b * k, d))
+
+
 class MultiModalEncoder(nn.Module):
     modules: Sequence[str] = ("point", "gat", "rel", "attr")
     rel_dim: int = 41
@@ -55,6 +82,9 @@ class MultiModalEncoder(nn.Module):
     dropout: float = 0.0
     pointnet_bn_mode: str = "parity"
     dtype: jnp.dtype = jnp.float32
+    # 0 = off; otherwise route only this many (per pair) mask-compacted object
+    # slots through the point encoder (see compact_gather)
+    compact_slots: int = 0
 
     @nn.compact
     def __call__(self, batch: dict[str, Any], train: bool = False) -> dict[str, jnp.ndarray]:
@@ -65,16 +95,37 @@ class MultiModalEncoder(nn.Module):
         embs: dict[str, jnp.ndarray] = {}
         for module in self.modules:
             if module in ("point", "pct"):
-                pts = batch["obj_points"].astype(self.dtype).reshape(b * two_n, -1, 3)
+                if "obj_points_compact" in batch:
+                    # host-compacted points: only real objects ship (batch.py)
+                    compact = True
+                    pts = batch["obj_points_compact"]
+                    idx = batch["compact_idx"]
+                    cmask = batch["compact_mask"]
+                    enc_mask = cmask.reshape(-1)
+                elif 0 < self.compact_slots < two_n:
+                    # device-side compaction fallback (gather from obj_mask)
+                    compact = True
+                    idx, cmask = compact_gather(batch, self.compact_slots)
+                    pts = jnp.take_along_axis(
+                        batch["obj_points"], idx[:, :, None, None], axis=1)
+                    enc_mask = cmask.reshape(-1)
+                else:
+                    compact = False
+                    pts = batch["obj_points"]
+                    enc_mask = obj_mask
+                pts = pts.astype(self.dtype).reshape(-1, pts.shape[-2], 3)
                 if module == "point":
                     feat = PointNetEncoder(self.pt_out_dim, self.pointnet_bn_mode,
                                            dtype=self.dtype, name="object_encoder")(
                         pts, train=train)
                 else:
                     feat = NaivePCT(self.pt_out_dim, dtype=self.dtype,
-                                    name="object_encoder")(pts, obj_mask, train=train)
+                                    name="object_encoder")(pts, enc_mask,
+                                                           train=train)
                 emb = nn.Dense(self.emb_dim, dtype=self.dtype,
                                name="object_embedding")(feat)
+                if compact:
+                    emb = compact_scatter(emb, idx, cmask, two_n)
             elif module == "gat":
                 # [B, 2N, 3] -> [2B, N, 3]: graph g = pair*2 + side
                 rel_pose = batch["rel_pose"].astype(self.dtype).reshape(2 * b, n, 3)

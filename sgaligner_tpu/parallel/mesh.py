@@ -36,6 +36,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def validate_compact_bound(batch: dict, compact_slots: int) -> None:
+    """Object compaction drops slots beyond the bound — fail loudly instead."""
+    if compact_slots <= 0:
+        return
+    per_pair = np.asarray(batch["obj_mask"]).sum(axis=1)
+    worst = int(per_pair.max()) if len(per_pair) else 0
+    if worst > compact_slots:
+        raise ValueError(
+            f"a pair has {worst} real objects > tpu.compact_slots="
+            f"{compact_slots}; raise the bound or disable compaction")
+
+
 def shard_batch(batch: dict, mesh: Mesh, pad: bool = True) -> dict:
     """Device-put a host batch with the pair axis sharded over the mesh.
 

@@ -104,7 +104,8 @@ def _t(x) -> np.ndarray:
 
 
 def torch_state_dict_to_params(state_dict: dict, modules: tuple[str, ...],
-                               heads: tuple[int, ...] = (2, 2)) -> dict:
+                               heads: tuple[int, ...] = (2, 2)
+                               ) -> tuple[dict, dict]:
     """Map a reference MultiModalEncoder state_dict to our flax param tree.
 
     Key correspondences (reference sg_aligner.py:54-69):
@@ -128,21 +129,66 @@ def torch_state_dict_to_params(state_dict: dict, modules: tuple[str, ...],
             out["bias"] = _t(sd[f"{prefix_t}.bias"])
         return out
 
-    if "point" in modules or "pct" in modules:
+    batch_stats: dict = {}
+
+    def conv1d_kernel(key):  # torch Conv1d k=1 weight [out, in, 1] -> [in, out]
+        return _t(sd[key])[:, :, 0].T
+
+    def bn_into(params_dst: dict, stats_dst: dict, prefix_t: str, name: str):
+        """torch BatchNorm1d -> MaskedBatchNorm params + batch_stats."""
+        params_dst[name] = {"scale": _t(sd[f"{prefix_t}.weight"]),
+                            "bias": _t(sd[f"{prefix_t}.bias"])}
+        stats_dst[name] = {"mean": _t(sd[f"{prefix_t}.running_mean"]),
+                           "var": _t(sd[f"{prefix_t}.running_var"])}
+
+    if "point" in modules:
         enc = {}
         for i in (1, 2, 3):
             key = f"object_encoder.conv{i}.weight"
             if key in sd:
-                w = _t(sd[key])[:, :, 0].T  # [out,in,1] -> [in,out]
-                layer = {"kernel": w}
+                layer = {"kernel": conv1d_kernel(key)}
                 bkey = f"object_encoder.conv{i}.bias"
                 if bkey in sd:
                     layer["bias"] = _t(sd[bkey])
                 enc[f"conv{i}"] = layer
         if enc:
             params["object_encoder"] = enc
-        if "object_embedding.weight" in sd:
-            params["object_embedding"] = dense_from_linear("object_embedding")
+    elif "pct" in modules and "object_encoder.embedding.conv1.weight" in sd:
+        # NaivePCT (reference pct.py:275-317) -> models/pct.py tree
+        enc: dict = {}
+        enc_bs: dict = {}
+        for i in (1, 2):
+            enc[f"emb{i-1}"] = {
+                "kernel": conv1d_kernel(f"object_encoder.embedding.conv{i}.weight")}
+            bn_into(enc, enc_bs, f"object_encoder.embedding.bn{i}",
+                    f"emb{i-1}_bn")
+        for s in (1, 2, 3, 4):
+            p = f"object_encoder.sa{s}"
+            sa = {
+                # q and k share one weight upstream (pct.py:199)
+                "qk": {"kernel": conv1d_kernel(f"{p}.q_conv.weight")},
+                "v": {"kernel": conv1d_kernel(f"{p}.v_conv.weight"),
+                      "bias": _t(sd[f"{p}.v_conv.bias"])},
+                "trans": {"kernel": conv1d_kernel(f"{p}.trans_conv.weight"),
+                          "bias": _t(sd[f"{p}.trans_conv.bias"])},
+            }
+            sa_bs: dict = {}
+            bn_into(sa, sa_bs, f"{p}.after_norm", "after_norm")
+            enc[f"sa{s}"] = sa
+            enc_bs[f"sa{s}"] = sa_bs
+        # nn.Sequential(conv1d, BN, leaky_relu) -> "linear" + "linear_bn"
+        enc["linear"] = {"kernel": conv1d_kernel("object_encoder.linear.0.weight")}
+        bn_into(enc, enc_bs, "object_encoder.linear.1", "linear_bn")
+        enc["linear1"] = {"kernel": _t(sd["object_encoder.linear1.weight"]).T}
+        bn_into(enc, enc_bs, "object_encoder.bn1", "bn1")
+        enc["linear2"] = dense_from_linear("object_encoder.linear2")
+        bn_into(enc, enc_bs, "object_encoder.bn2", "bn2")
+        params["object_encoder"] = enc
+        batch_stats["object_encoder"] = enc_bs
+
+    if ("point" in modules or "pct" in modules) and \
+            "object_embedding.weight" in sd:
+        params["object_embedding"] = dense_from_linear("object_embedding")
 
     if "gat" in modules or "gcn" in modules:
         se = {}
@@ -190,7 +236,8 @@ def torch_state_dict_to_params(state_dict: dict, modules: tuple[str, ...],
     if "fusion.weight" in sd:
         params["fusion"] = {"weight": _t(sd["fusion.weight"])}
 
-    return jax.tree.map(np.asarray, params)
+    return (jax.tree.map(np.asarray, params),
+            jax.tree.map(np.asarray, batch_stats))
 
 
 def load_torch_snapshot(path: str, modules: tuple[str, ...],
@@ -200,7 +247,7 @@ def load_torch_snapshot(path: str, modules: tuple[str, ...],
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = blob.get("model", blob.get("state_dict", blob))
-    params = torch_state_dict_to_params(state_dict, modules, heads)
+    params, batch_stats = torch_state_dict_to_params(state_dict, modules, heads)
     meta = {"epoch": int(blob.get("epoch", 0)),
             "iteration": int(blob.get("iteration", 0))}
-    return {"params": params, **meta}
+    return {"params": params, "batch_stats": batch_stats, **meta}

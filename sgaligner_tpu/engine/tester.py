@@ -67,7 +67,7 @@ class BaseTester:
         if snapshot.endswith((".pth.tar", ".pth", ".tar")):
             payload = ckpt.load_torch_snapshot(snapshot, self.modules,
                                                tuple(self.cfg.model.heads))
-            return payload["params"], {}
+            return payload["params"], payload.get("batch_stats", {})
         payload = ckpt.load_snapshot(snapshot)
         params = payload["params"]
         model_params = params["model"] if "model" in params else params

@@ -57,6 +57,31 @@ class MaskedBatchNorm(nn.Module):
         return y * scale + bias
 
 
+class OABlock(nn.Module):
+    """Offset-attention block — OA (pct.py:234-273), quirks included: shared
+    q/k weight, softmax over the key axis then re-normalization over the QUERY
+    axis (the reference's "here" comment), residual on trans(x - x_r)."""
+
+    channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        da = self.channels // 4
+        qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
+        x_q, x_k = qk(x), qk(x)
+        x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
+
+        energy = jnp.einsum("opd,oqd->opq", x_q, x_k)   # no sqrt(da) scaling
+        attention = nn.softmax(energy, axis=-1)
+        attention = attention / (1e-9 + attention.sum(axis=1, keepdims=True))
+        x_r = jnp.einsum("opc,opq->oqc", x_v, attention)
+        x_r = nn.Dense(self.channels, dtype=self.dtype, name="trans")(x - x_r)
+        x_r = MaskedBatchNorm(self.channels, name="after_norm")(
+            x_r, mask[:, None], train)
+        return x + nn.relu(x_r)
+
+
 class SABlock(nn.Module):
     """Self-attention block — SA (pct.py:187-232), quirks included."""
 
@@ -110,6 +135,108 @@ class NaivePCT(nn.Module):
         x = MaskedBatchNorm(1024, name="linear_bn")(x, pm, train)
         x = nn.leaky_relu(x, 0.2)
         x = jnp.max(x, axis=1)                       # [O, 1024]
+
+        x = nn.Dense(512, use_bias=False, dtype=self.dtype, name="linear1")(x)
+        x = MaskedBatchNorm(512, name="bn1")(x, mask, train)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(self.out_size, dtype=self.dtype, name="linear2")(x)
+        x = MaskedBatchNorm(self.out_size, name="bn2")(x, mask, train)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return x
+
+
+class SPCT(nn.Module):
+    """SPCT (pct.py:319-351): NaivePCT's embedding + 4 offset-attention blocks;
+    returns the per-point features plus their max/mean pools (the reference has
+    no MLP head here — it is a feature extractor)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
+                 train: bool = False):
+        x = points.astype(self.dtype)
+        pm = mask[:, None]
+        for i in range(2):
+            x = nn.Dense(128, use_bias=False, dtype=self.dtype, name=f"emb{i}")(x)
+            x = MaskedBatchNorm(128, name=f"emb{i}_bn")(x, pm, train)
+            x = nn.relu(x)
+
+        feats = []
+        for i in range(4):
+            x = OABlock(128, dtype=self.dtype, name=f"sa{i + 1}")(x, mask, train)
+            feats.append(x)
+        x = jnp.concatenate(feats, axis=-1)          # [O, P, 512]
+        x = nn.Dense(1024, use_bias=False, dtype=self.dtype, name="linear")(x)
+        x = MaskedBatchNorm(1024, name="linear_bn")(x, pm, train)
+        x = nn.leaky_relu(x, 0.2)
+        return x, jnp.max(x, axis=1), jnp.mean(x, axis=1)
+
+
+class SGModule(nn.Module):
+    """Sampling-and-grouping feature block — SG (pct.py:154-185)."""
+
+    s: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
+                 mask: jnp.ndarray, train: bool):
+        """features: [O, N, D]; coords: [O, N, 3] -> ([O, s, 3], [O, s, C])."""
+        from sgaligner_tpu.ops.knn import sample_and_knn_group
+
+        new_xyz, grouped = sample_and_knn_group(self.s, 32, coords, features)
+        o, s, k, d = grouped.shape
+        x = grouped.reshape(o * s, k, d)
+        gm = jnp.broadcast_to(mask[:, None], (o, s)).reshape(o * s)
+        for i in range(2):
+            x = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+                         name=f"conv{i + 1}")(x)
+            x = MaskedBatchNorm(self.out_channels, name=f"bn{i + 1}")(
+                x, gm[:, None], train)
+            x = nn.relu(x)
+        x = jnp.max(x, axis=1).reshape(o, s, self.out_channels)
+        return new_xyz, x
+
+
+class FullPCT(nn.Module):
+    """The full PCT (pct.py:353-395): NeighborEmbedding (FPS + KNN grouping,
+    pct.py:127-152) + 4 offset-attention blocks + MLP head. The reference's
+    CUDA ``pointnet2_ops`` FPS becomes the batched device kernel (ops/fps.py)."""
+
+    out_size: int = 256
+    samples: tuple[int, int] = (512, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        xyz = points.astype(self.dtype)                  # [O, N, 3]
+        pm = mask[:, None]
+        x = xyz
+        for i in range(2):
+            x = nn.Dense(64, use_bias=False, dtype=self.dtype,
+                         name=f"ne_conv{i + 1}")(x)
+            x = MaskedBatchNorm(64, name=f"ne_bn{i + 1}")(x, pm, train)
+            x = nn.relu(x)
+
+        xyz1, x = SGModule(self.samples[0], 128, dtype=self.dtype,
+                           name="sg1")(x, xyz, mask, train)
+        _, x = SGModule(self.samples[1], 256, dtype=self.dtype,
+                        name="sg2")(x, xyz1, mask, train)
+
+        feats = [x]
+        for i in range(4):
+            x = OABlock(256, dtype=self.dtype, name=f"oa{i + 1}")(x, mask, train)
+            feats.append(x)
+        x = jnp.concatenate(feats, axis=-1)              # [O, s2, 1280]
+        x = nn.Dense(1024, use_bias=False, dtype=self.dtype, name="linear")(x)
+        x = MaskedBatchNorm(1024, name="linear_bn")(x, pm, train)
+        x = nn.leaky_relu(x, 0.2)
+        x = jnp.max(x, axis=1)
 
         x = nn.Dense(512, use_bias=False, dtype=self.dtype, name="linear1")(x)
         x = MaskedBatchNorm(512, name="bn1")(x, mask, train)

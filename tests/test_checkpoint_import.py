@@ -72,7 +72,7 @@ def manual_pointnet(sd, pts):
 def test_import_and_point_parity():
     rng = np.random.default_rng(0)
     sd = make_torch_state_dict(rng)
-    params = torch_state_dict_to_params(sd, MODULES)
+    params, _ = torch_state_dict_to_params(sd, MODULES)
 
     batch = make_synthetic_batch(SPEC, seed=1)
     model = MultiModalEncoder(modules=MODULES)
@@ -107,7 +107,7 @@ def test_import_gat_weight_layout():
     head h's projection equals rows [h*out:(h+1)*out] of the torch weight."""
     rng = np.random.default_rng(2)
     sd = make_torch_state_dict(rng)
-    params = torch_state_dict_to_params(sd, MODULES)
+    params, _ = torch_state_dict_to_params(sd, MODULES)
     w_torch = sd["structure_encoder.layer_stack.0.lin_src.weight"].numpy()
     w_ours = params["structure_encoder"]["gat0"]["weight"]  # [3, 2, 128]
     x = rng.normal(size=(5, 3)).astype(np.float32)
@@ -131,10 +131,71 @@ def test_import_from_pth_file(tmp_path):
     assert payload["params"]["fusion"]["weight"].shape == (4, 1)
 
 
+def make_torch_pct_state_dict(rng):
+    """NaivePCT keys as the reference saves them (pct.py:275-298)."""
+
+    def t(*shape):
+        return torch.tensor(rng.normal(size=shape).astype(np.float32))
+
+    def bn(prefix, c, sd):
+        sd[f"{prefix}.weight"] = torch.ones(c)
+        sd[f"{prefix}.bias"] = torch.zeros(c)
+        sd[f"{prefix}.running_mean"] = torch.zeros(c)
+        sd[f"{prefix}.running_var"] = torch.ones(c)
+
+    sd = {}
+    sd["object_encoder.embedding.conv1.weight"] = t(128, 3, 1)
+    sd["object_encoder.embedding.conv2.weight"] = t(128, 128, 1)
+    bn("object_encoder.embedding.bn1", 128, sd)
+    bn("object_encoder.embedding.bn2", 128, sd)
+    for s in (1, 2, 3, 4):
+        p = f"object_encoder.sa{s}"
+        qk = t(32, 128, 1)
+        sd[f"{p}.q_conv.weight"] = qk
+        sd[f"{p}.k_conv.weight"] = qk  # shared weight (pct.py:199)
+        sd[f"{p}.v_conv.weight"] = t(128, 128, 1)
+        sd[f"{p}.v_conv.bias"] = t(128)
+        sd[f"{p}.trans_conv.weight"] = t(128, 128, 1)
+        sd[f"{p}.trans_conv.bias"] = t(128)
+        bn(f"{p}.after_norm", 128, sd)
+    sd["object_encoder.linear.0.weight"] = t(1024, 512, 1)
+    bn("object_encoder.linear.1", 1024, sd)
+    sd["object_encoder.linear1.weight"] = t(512, 1024)
+    bn("object_encoder.bn1", 512, sd)
+    sd["object_encoder.linear2.weight"] = t(256, 512)
+    sd["object_encoder.linear2.bias"] = t(256)
+    bn("object_encoder.bn2", 256, sd)
+    # rest of the 4-modality model
+    base = make_torch_state_dict(np.random.default_rng(9))
+    for k, v in base.items():
+        if not k.startswith("object_encoder."):
+            sd[k] = v
+    return sd
+
+
+def test_pct_import_structure_matches_model():
+    rng = np.random.default_rng(6)
+    sd = make_torch_pct_state_dict(rng)
+    modules = ("pct", "gat", "rel", "attr")
+    params, batch_stats = torch_state_dict_to_params(sd, modules)
+
+    batch = make_synthetic_batch(SPEC, seed=1)
+    model = MultiModalEncoder(modules=modules)
+    variables = model.init(jax.random.key(0), batch, train=False)
+    jax.tree.map(lambda a, b: np.testing.assert_equal(a.shape, b.shape),
+                 variables["params"], params)
+    jax.tree.map(lambda a, b: np.testing.assert_equal(a.shape, b.shape),
+                 variables["batch_stats"], batch_stats)
+    # imported weights run (eval mode uses the imported running stats)
+    embs = model.apply({"params": params, "batch_stats": batch_stats},
+                       batch, train=False)
+    assert np.isfinite(np.asarray(embs["pct"])).all()
+
+
 def test_ddp_module_prefix_stripped():
     rng = np.random.default_rng(4)
     sd = make_torch_state_dict(rng)
     sd_prefixed = {f"module.{k}": v for k, v in sd.items()}
-    a = torch_state_dict_to_params(sd, MODULES)
-    b = torch_state_dict_to_params(sd_prefixed, MODULES)
+    a, _ = torch_state_dict_to_params(sd, MODULES)
+    b, _ = torch_state_dict_to_params(sd_prefixed, MODULES)
     jax.tree.map(np.testing.assert_array_equal, a, b)

@@ -51,6 +51,48 @@ def test_pct_masked_bn_padding_independent():
         stats_clean, stats_padded)
 
 
+def test_knn_group_semantics():
+    from sgaligner_tpu.ops.knn import index_points, knn_point, square_distance
+
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(2, 10, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 6, 3)).astype(np.float32)
+    d = np.asarray(square_distance(jnp.array(b), jnp.array(a)))
+    want = ((b[:, :, None, :] - a[:, None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, want, rtol=1e-4, atol=1e-5)
+
+    idx = np.asarray(knn_point(3, jnp.array(a), jnp.array(b)))
+    for bi in range(2):
+        for qi in range(6):
+            got = set(idx[bi, qi].tolist())
+            want_idx = set(np.argsort(want[bi, qi])[:3].tolist())
+            assert got == want_idx
+
+    gathered = np.asarray(index_points(jnp.array(a), jnp.array(idx)))
+    assert gathered.shape == (2, 6, 3, 3)
+    np.testing.assert_allclose(gathered[0, 0, 0], a[0, idx[0, 0, 0]])
+
+
+def test_spct_and_full_pct_forward():
+    from sgaligner_tpu.models.pct import SPCT, FullPCT
+
+    rng = np.random.default_rng(5)
+    pts = jnp.array(rng.normal(size=(4, 64, 3)).astype(np.float32))
+    mask = jnp.ones(4, bool)
+
+    spct = SPCT()
+    v = spct.init(jax.random.key(0), pts, mask, train=False)
+    x, x_max, x_mean = spct.apply(v, pts, mask, train=False)
+    assert x.shape == (4, 64, 1024)
+    assert x_max.shape == (4, 1024) and x_mean.shape == (4, 1024)
+
+    pct = FullPCT(samples=(32, 16))
+    v = pct.init(jax.random.key(0), pts, mask, train=False)
+    out = pct.apply(v, pts, mask, train=False)
+    assert out.shape == (4, 256)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_pct_engine_train_step():
     """Full 4-modality model with the PCT encoder (the released GT config,
     scan3r_ground_truth.yaml) trains: batch_stats threading + dropout rngs."""

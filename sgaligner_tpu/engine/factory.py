@@ -17,8 +17,12 @@ from sgaligner_tpu.models.eva import EVA
 from sgaligner_tpu.models.sg_aligner import MultiModalEncoder
 
 
-def build_model(cfg: Config):
+def build_model(cfg: Config, platform: str | None = None):
+    """platform: the platform of the devices the model will RUN on (the mesh's),
+    which can differ from jax.default_backend() — e.g. a virtual CPU mesh on a
+    TPU box; Pallas kernels must be disabled there."""
     dtype = jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32
+    fused = "never" if platform == "cpu" else "auto"
     if cfg.model_name == "eva":
         return EVA(
             modules=tuple(cfg.modules),
@@ -27,6 +31,7 @@ def build_model(cfg: Config):
             emb_dim=cfg.model.emb_dim,
             dropout=cfg.model.dropout,
             pointnet_bn_mode=cfg.model.pointnet_bn_mode,
+            pointnet_fused=fused,
             dtype=dtype,
         )
     return MultiModalEncoder(
@@ -39,6 +44,7 @@ def build_model(cfg: Config):
         heads=tuple(cfg.model.heads),
         dropout=cfg.model.dropout,
         pointnet_bn_mode=cfg.model.pointnet_bn_mode,
+        pointnet_fused=fused,
         dtype=dtype,
         compact_slots=cfg.tpu.compact_slots,
     )

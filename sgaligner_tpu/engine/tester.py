@@ -42,7 +42,7 @@ class BaseTester:
         self.cfg = cfg
         self.logger = Logger(log_file)
         self.mesh = make_mesh(cfg.tpu.dp)
-        self.model = build_model(cfg)
+        self.model = build_model(cfg, platform=self.mesh.devices.flat[0].platform)
         self.kind = loss_kind(cfg)
         self.modules = tuple(cfg.modules)
         self.key_modality = "joint" if len(self.modules) > 1 else self.modules[0]

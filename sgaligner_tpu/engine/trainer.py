@@ -63,7 +63,7 @@ class Trainer:
         self.writer = self._make_event_writer(cfg.event_dir)
 
         self.mesh = make_mesh(cfg.tpu.dp)
-        self.model = build_model(cfg)
+        self.model = build_model(cfg, platform=self.mesh.devices.flat[0].platform)
         self.tx = build_optimizer(cfg)
         self.kind = loss_kind(cfg)
         modules = tuple(cfg.modules)

@@ -28,6 +28,7 @@ class EVA(nn.Module):
     pt_out_dim: int = 200
     dropout: float = 0.0
     pointnet_bn_mode: str = "parity"
+    pointnet_fused: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -46,6 +47,7 @@ class EVA(nn.Module):
                     feat = PointNetEncoder(self.pt_out_dim,
                                            self.pointnet_bn_mode,
                                            dtype=self.dtype,
+                                           fused=self.pointnet_fused,
                                            name="object_encoder")(pts,
                                                                   train=train)
                     emb = compact_scatter(feat, batch["compact_idx"],
@@ -55,7 +57,9 @@ class EVA(nn.Module):
                 pts = batch["obj_points"].astype(self.dtype).reshape(b * two_n, -1, 3)
                 # EVA uses the raw 200-d PointNet feature, no projection (eva.py:75)
                 emb = PointNetEncoder(self.pt_out_dim, self.pointnet_bn_mode,
-                                      dtype=self.dtype, name="object_encoder")(
+                                      dtype=self.dtype,
+                                      fused=self.pointnet_fused,
+                                      name="object_encoder")(
                     pts, train=train)
             elif module == "gcn":
                 rel_pose = batch["rel_pose"].astype(self.dtype).reshape(2 * b, n, 3)

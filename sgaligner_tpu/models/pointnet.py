@@ -39,16 +39,20 @@ class PointNetEncoder(nn.Module):
     bn_mode: str = "parity"  # "parity" | "active"
     dtype: jnp.dtype = jnp.float32
     # use the fused Pallas kernel (ops/pointnet_fused.py) on TPU in parity
-    # mode — same math, activations stay in VMEM; "never" forces the XLA path
-    fused: str = "auto"  # "auto" | "never"
+    # mode — same math, activations stay in VMEM. "auto" keys off the default
+    # backend; pass "never" when running on devices that differ from the
+    # default backend (e.g. a virtual CPU mesh on a TPU box — the factory
+    # resolves this from the mesh platform).
+    fused: str = "auto"  # "auto" | "never" | "always"
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """points: [O, P, 3] -> [O, out_size]."""
         x = points.astype(self.dtype)
 
-        if (self.fused == "auto" and self.bn_mode == "parity"
-                and jax.default_backend() not in ("cpu",)):
+        use_fused = (self.fused == "always"
+                     or (self.fused == "auto" and jax.default_backend() != "cpu"))
+        if use_fused and self.bn_mode == "parity":
             from sgaligner_tpu.ops.pointnet_fused import pointnet_fused
 
             # same param tree as the Dense path: {convN: {kernel, bias}}

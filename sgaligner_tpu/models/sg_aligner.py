@@ -81,6 +81,7 @@ class MultiModalEncoder(nn.Module):
     heads: Sequence[int] = (2, 2)
     dropout: float = 0.0
     pointnet_bn_mode: str = "parity"
+    pointnet_fused: str = "auto"
     dtype: jnp.dtype = jnp.float32
     # 0 = off; otherwise route only this many (per pair) mask-compacted object
     # slots through the point encoder (see compact_gather)
@@ -116,7 +117,9 @@ class MultiModalEncoder(nn.Module):
                 pts = pts.astype(self.dtype).reshape(-1, pts.shape[-2], 3)
                 if module == "point":
                     feat = PointNetEncoder(self.pt_out_dim, self.pointnet_bn_mode,
-                                           dtype=self.dtype, name="object_encoder")(
+                                           dtype=self.dtype,
+                                           fused=self.pointnet_fused,
+                                           name="object_encoder")(
                         pts, train=train)
                 else:
                     feat = NaivePCT(self.pt_out_dim, dtype=self.dtype,

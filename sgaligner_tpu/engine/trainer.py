@@ -159,12 +159,31 @@ class Trainer:
                 metrics = jax.device_get(metrics)   # sync point for timing
                 timer.record_process()
                 board.update_from_dict(metrics)
+                if not np.isfinite(float(metrics["loss"])):
+                    self._dump_debug_state(batch, it)
             else:
                 timer.record_process()
         summary = board.summary()
         summary["time/prepare"] = timer.prepare_mean
         summary["time/process"] = timer.process_mean
         return summary
+
+    def _dump_debug_state(self, batch, it: int) -> None:
+        """Non-finite loss: dump the offending batch + model state for offline
+        debugging (the reference dumps data+model and drops into ipdb,
+        epoch_based_trainer.py:65-73 — not possible under jit; the optimizer
+        itself already skips non-finite-grad steps via optax.apply_if_finite).
+        """
+        self.logger.error(f"non-finite loss at epoch {self.epoch} iter {it}")
+        if not self.cfg.output_dir:
+            return
+        import pickle
+
+        path = osp.join(self.cfg.output_dir, f"nan_debug_e{self.epoch}_i{it}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump({"batch": jax.device_get(batch),
+                         "params": jax.device_get(self.state.params)}, f)
+        self.logger.error(f"dumped offending batch + params to {path}")
 
     def inference_epoch(self) -> dict[str, float]:
         assert self.state is not None and self.val_loader is not None

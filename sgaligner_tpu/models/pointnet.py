@@ -74,3 +74,97 @@ class PointNetEncoder(nn.Module):
         x = block(x, 128, "conv2")
         x = block(x, self.out_size, "conv3")
         return jnp.max(x, axis=1)  # global max-pool over points
+
+
+class STN(nn.Module):
+    """Spatial/feature transform net — STN3d/STNkd (pointnet.py:14-85).
+
+    Unused by the aligner's instantiation (input_transform=False,
+    sg_aligner.py:58) but part of the reference PointNet family: predicts a
+    [k, k] transform from the point set, initialized around identity.
+    """
+
+    k: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """points: [O, P, k] -> [O, k, k]."""
+        x = points.astype(self.dtype)
+        for feats, name in ((64, "conv1"), (128, "conv2"), (1024, "conv3")):
+            x = nn.Dense(feats, name=name, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name=f"{name}_bn", dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = jnp.max(x, axis=1)
+        for feats, name in ((512, "fc1"), (256, "fc2")):
+            x = nn.Dense(feats, name=name, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name=f"{name}_bn", dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = nn.Dense(self.k * self.k, name="fc3", dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros)(x)
+        eye = jnp.eye(self.k, dtype=self.dtype).reshape(-1)
+        return (x + eye).reshape(-1, self.k, self.k)
+
+
+class PointNetCls(nn.Module):
+    """Classifier head — PointNetCls (pointnet.py:178-213): fc 512 -> 256 -> k
+    with BN + dropout, log-softmax output."""
+
+    k: int = 2
+    batch_norm: bool = True
+    drop_out: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(512, name="fc1", dtype=self.dtype)(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, name="bn1",
+                             dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(256, name="fc2", dtype=self.dtype)(x)
+        if self.drop_out:
+            x = nn.Dropout(0.3, deterministic=not train)(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, name="bn2",
+                             dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.k, name="fc3", dtype=self.dtype)(x)
+        return nn.log_softmax(x, axis=1)
+
+
+class PointNetRelClsMulti(nn.Module):
+    """Multi-label relation head — PointNetRelClsMulti (pointnet.py:267-303):
+    same MLP with a sigmoid output."""
+
+    k: int = 2
+    batch_norm: bool = True
+    drop_out: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(512, name="fc1", dtype=self.dtype)(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, name="bn1",
+                             dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(256, name="fc2", dtype=self.dtype)(x)
+        if self.drop_out:
+            x = nn.Dropout(0.3, deterministic=not train)(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, name="bn2",
+                             dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.k, name="fc3", dtype=self.dtype)(x)
+        return nn.sigmoid(x)
+
+
+def feature_transform_regularizer(trans: jnp.ndarray) -> jnp.ndarray:
+    """||T Tᵀ - I||_F regularizer (pointnet.py:321-328)."""
+    d = trans.shape[1]
+    eye = jnp.eye(d, dtype=trans.dtype)[None]
+    diff = jnp.einsum("bij,bkj->bik", trans, trans) - eye
+    return jnp.mean(jnp.linalg.norm(diff, axis=(1, 2)))

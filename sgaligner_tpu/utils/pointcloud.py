@@ -154,3 +154,45 @@ def apply_transform(points: np.ndarray, transform: np.ndarray,
     if normals is not None:
         return points, normals @ rotation.T
     return points
+
+
+def load_obj(filename: str):
+    """Minimal OBJ vertex/face reader (point_cloud.py:17-32)."""
+    vertices, faces = [], []
+    with open(filename) as f:
+        for line in f:
+            if line.startswith("v "):
+                vertices.append([float(x) for x in line.split()[1:]])
+            elif line.startswith("f "):
+                faces.append([int(v.split("/")[0]) - 1
+                              for v in line.split()[1:]])
+    v, fc = np.asarray(vertices), np.asarray(faces)
+    assert v.shape[1] == fc.shape[1]
+    return v, fc
+
+
+def sample_faces(vertices: np.ndarray, faces: np.ndarray,
+                 n_samples: int = 10**4,
+                 rng: np.random.Generator | None = None) -> np.ndarray:
+    """Area-weighted barycentric surface sampling (point_cloud.py:159-209)."""
+    rng = rng or np.random.default_rng()
+    vec_cross = np.cross(vertices[faces[:, 0]] - vertices[faces[:, 2]],
+                         vertices[faces[:, 1]] - vertices[faces[:, 2]])
+    face_areas = np.sqrt((vec_cross**2).sum(1))
+    face_areas = face_areas / face_areas.sum()
+
+    n_per_face = np.ceil(n_samples * face_areas).astype(int)
+    floor_num = n_per_face.sum() - n_samples
+    if floor_num > 0:
+        idxs = np.where(n_per_face > 0)[0]
+        drop = rng.choice(idxs, floor_num, replace=True)
+        np.subtract.at(n_per_face, drop, 1)
+    n_per_face = np.maximum(n_per_face, 0)
+    sample_face_idx = np.repeat(np.arange(len(faces)), n_per_face)
+
+    r = rng.random((len(sample_face_idx), 2))
+    a = vertices[faces[sample_face_idx, 0]]
+    b = vertices[faces[sample_face_idx, 1]]
+    c = vertices[faces[sample_face_idx, 2]]
+    sq = np.sqrt(r[:, 0:1])
+    return (1 - sq) * a + sq * (1 - r[:, 1:]) * b + sq * r[:, 1:] * c

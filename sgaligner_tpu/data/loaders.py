@@ -44,10 +44,20 @@ class BatchLoader:
         chunks = [order[i : i + self.batch_size]
                   for i in range(0, len(order), self.batch_size)]
         if self.num_workers > 1:
+            # bounded prefetch: keep ~2x workers batches in flight, not the
+            # whole epoch (unbounded submission materializes every batch)
+            depth = 2 * self.num_workers
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(self._load_chunk, c) for c in chunks]
-                for fut in futures:
-                    yield fut.result()
+                futures = [pool.submit(self._load_chunk, c)
+                           for c in chunks[:depth]]
+                next_chunk = depth
+                for i in range(len(chunks)):
+                    yield futures[i].result()
+                    futures[i] = None  # release the batch
+                    if next_chunk < len(chunks):
+                        futures.append(pool.submit(self._load_chunk,
+                                                   chunks[next_chunk]))
+                        next_chunk += 1
         else:
             for c in chunks:
                 yield self._load_chunk(c)

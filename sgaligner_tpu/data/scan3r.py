@@ -57,7 +57,12 @@ class Scan3RDataset:
             attr_dim=cfg.model.attr_dim,
             compact_slots=cfg.tpu.compact_slots,
         )
+        # the loader reads items from a thread pool (data/loaders.py) and
+        # numpy Generators are not thread-safe — guard the draws
+        import threading
+
         self.rng = np.random.default_rng(cfg.seed)
+        self._rng_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.anchor_data)
@@ -90,7 +95,9 @@ class Scan3RDataset:
 
         src_points = self._load_scene_points(src_scan_id)
         ref_points = self._load_scene_points(ref_scan_id)
-        if self.split == "train" and self.rng.random() > 0.5:
+        with self._rng_lock:
+            center_on_ref = self.split == "train" and self.rng.random() > 0.5
+        if center_on_ref:
             pcl_center = np.mean(ref_points, axis=0)
         else:
             pcl_center = np.mean(src_points, axis=0)

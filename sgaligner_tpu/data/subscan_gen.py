@@ -166,11 +166,14 @@ class SubGenScan3R:
             s for s in os.listdir(self.scene_out_dir)
             if "_" in s and s[: s.index("_")] in self.scan_ids])
 
+        # the reference seeds only `random`, leaving np.random.choice here
+        # nondeterministic (subgenscan3r.py:139); we seed it for reproducibility
+        rng = np.random.default_rng(self.cfg.seed)
         chosen = []
         for scan_id in self.scan_ids:
             per_scan = [s for s in all_subscan_ids if s.startswith(scan_id)]
             if len(per_scan) > self.num_subscans_per_scan:
-                per_scan = list(np.random.choice(
+                per_scan = list(rng.choice(
                     per_scan, self.num_subscans_per_scan, replace=False))
             chosen.append(per_scan)
         subscan_ids = np.concatenate([np.array(c, dtype=object) for c in chosen]) \

@@ -43,7 +43,13 @@ def make_synthetic_pair(
     n_anchor: int | None = None,
     noise: float = 0.02,
     anchor_fraction_kept: float = 1.0,
+    bow_noise: float = 0.0,
+    resample: bool = False,
 ) -> dict[str, np.ndarray]:
+    """``resample=True`` makes anchors share only their SHAPE (a per-object
+    covariance) while src/ref draw independent point samples — like the same
+    3RScan object carved by two different camera sweeps. Matching then has to
+    be learned from shape statistics instead of exact point identity."""
     """Generate one padded pair sample with planted anchor correspondences."""
     n_max, p = spec.max_objects, spec.points_per_object
     if n_src is None:
@@ -57,13 +63,27 @@ def make_synthetic_pair(
 
     # Shared "scene objects": anchors exist in both graphs with the same local
     # geometry and BoW signature; the rest are independent.
-    def make_objects(n, shared_pts, shared_rel, shared_attr, shared_centers):
-        k = len(shared_pts)
+    def sample_shape(cov):
+        return (rng.normal(size=(p, 3)) @ cov).astype(np.float32)
+
+    def make_objects(n, shared_pts, shared_rel, shared_attr, shared_centers,
+                     shared_covs=None):
+        k = len(shared_rel)
+        anchor_centers = shared_centers
+        if shared_covs is not None:
+            # per-side barycenter jitter: real subscans compute rel_trans from
+            # different point subsets (preprocess.py:93-96,169-174)
+            anchor_centers = shared_centers + rng.normal(
+                0, 0.2, shared_centers.shape)
         centers = np.concatenate(
-            [shared_centers, rng.uniform(-3, 3, size=(n - k, 3))], axis=0
+            [anchor_centers, rng.uniform(-3, 3, size=(n - k, 3))], axis=0
         ).astype(np.float32)
         local = rng.normal(0, 0.3, size=(n - k, p, 3)).astype(np.float32)
-        pts_local = np.concatenate([shared_pts, local], axis=0)
+        if shared_covs is not None:  # resample mode: fresh draws per side
+            anchor_pts = np.stack([sample_shape(c) for c in shared_covs])
+        else:
+            anchor_pts = shared_pts
+        pts_local = np.concatenate([anchor_pts, local], axis=0)
         pts = pts_local + centers[:, None, :] + rng.normal(0, noise, size=(n, p, 3))
         bow_rel = np.concatenate(
             [shared_rel, rng.integers(0, 3, size=(n - k, spec.rel_dim))], axis=0
@@ -72,18 +92,33 @@ def make_synthetic_pair(
             [shared_attr, (rng.random((n - k, spec.attr_dim)) < 0.03).astype(np.float64)],
             axis=0,
         ).astype(np.float32)
+        if bow_noise > 0:
+            # corrupt the anchors' BoW signatures so exact-match shortcuts
+            # disappear and the model must learn from geometry/structure
+            bow_rel[:k] += rng.integers(
+                0, 2, size=(k, spec.rel_dim)) * (rng.random((k, 1)) < bow_noise)
+            flips = rng.random((k, spec.attr_dim)) < bow_noise * 0.2
+            bow_attr[:k] = np.where(flips, 1 - bow_attr[:k], bow_attr[:k])
         return pts.astype(np.float32), centers, bow_rel, bow_attr
 
     shared_pts = rng.normal(0, 0.3, size=(n_anchor, p, 3)).astype(np.float32)
     shared_rel = rng.integers(0, 3, size=(n_anchor, spec.rel_dim)).astype(np.float32)
     shared_attr = (rng.random((n_anchor, spec.attr_dim)) < 0.03).astype(np.float32)
     shared_centers = rng.uniform(-3, 3, size=(n_anchor, 3)).astype(np.float32)
+    shared_covs = None
+    if resample:
+        # distinctive anisotropic shapes: random scale per axis + rotation-ish mix
+        shared_covs = [np.diag(rng.uniform(0.05, 0.6, size=3))
+                       @ (np.eye(3) + 0.3 * rng.normal(size=(3, 3)))
+                       for _ in range(n_anchor)]
 
     src_pts, src_centers, src_rel, src_attr = make_objects(
-        n_src, shared_pts, shared_rel, shared_attr, shared_centers
+        n_src, shared_pts, shared_rel, shared_attr, shared_centers,
+        shared_covs=shared_covs,
     )
     ref_pts, ref_centers, ref_rel, ref_attr = make_objects(
-        n_ref, shared_pts, shared_rel, shared_attr, shared_centers
+        n_ref, shared_pts, shared_rel, shared_attr, shared_centers,
+        shared_covs=shared_covs,
     )
 
     # Relative translation to root object (max out-degree; dense edges make the

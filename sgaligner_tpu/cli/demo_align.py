@@ -17,9 +17,6 @@ import json
 
 import numpy as np
 
-from sgaligner_tpu.core.config import make_cfg
-
-
 def objects_from_npy(path: str, pc_res: int, min_points: int,
                      rng: np.random.Generator):
     from sgaligner_tpu.utils.io import load_plydata_npy

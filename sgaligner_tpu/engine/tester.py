@@ -28,7 +28,7 @@ from sgaligner_tpu.data.batch import BatchSpec, collate, pack_pair
 from sgaligner_tpu.engine.factory import build_model, loss_kind
 from sgaligner_tpu.engine.train_step import _apply_model, make_eval_step
 from sgaligner_tpu.ops import metrics as M
-from sgaligner_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from sgaligner_tpu.parallel.mesh import make_mesh, shard_batch
 from sgaligner_tpu.utils.io import load_pkl_data, load_plydata_npy
 from sgaligner_tpu.utils.logging import Logger, SummaryBoard
 from sgaligner_tpu.utils.pointcloud import compute_pcl_overlap

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                out_ref, amax_ref, *, t: int, p: int):
+                out_ref, *refs, t: int, p: int, with_argmax: bool):
     f32 = jnp.float32
     dt = x_ref.dtype
     x = x_ref[:]                                           # [T*P, 3]
@@ -47,7 +47,8 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                      + b3_ref[:].astype(f32), 0.0)
     h3 = h3.reshape(t, p, -1)                              # sublane split
     out_ref[:] = jnp.max(h3, axis=1)
-    amax_ref[:] = jnp.argmax(h3, axis=1).astype(jnp.int32)
+    if with_argmax:  # only the training path needs the max-pool routing index
+        refs[0][:] = jnp.argmax(h3, axis=1).astype(jnp.int32)
 
 
 def _bwd_kernel(x_ref, dout_ref, amax_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -138,42 +139,45 @@ def _weight_specs():
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)]
 
 
-def _forward(x, w1, b1, w2, b2, w3, b3, interpret):
+def _forward(x, w1, b1, w2, b2, w3, b3, interpret, with_argmax=True):
     o, p, _ = x.shape
     c3 = w3.shape[1]
     t = _pick_tile(o, p, x.dtype.itemsize, bwd=False)
     if t is None:
         return _unfused(x, w1, b1, w2, b2, w3, b3), None
     xf = x.reshape(o * p, 3)
-    out, amax = pl.pallas_call(
-        partial(_fwd_kernel, t=t, p=p),
+    n_out = 2 if with_argmax else 1
+    outs = pl.pallas_call(
+        partial(_fwd_kernel, t=t, p=p, with_argmax=with_argmax),
         grid=(o // t,),
         in_specs=[
             pl.BlockSpec((t * p, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *_weight_specs(),
         ],
-        out_specs=[
-            pl.BlockSpec((t, c3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, c3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((o, c3), jnp.float32),
-            jax.ShapeDtypeStruct((o, c3), jnp.int32),
-        ],
+        out_specs=[pl.BlockSpec((t, c3), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=([jax.ShapeDtypeStruct((o, c3), jnp.float32)]
+                   + ([jax.ShapeDtypeStruct((o, c3), jnp.int32)]
+                      if with_argmax else [])),
         interpret=interpret,
     )(xf, w1, b1, w2, b2, w3, b3)
+    out = outs[0]
+    amax = outs[1] if with_argmax else None
     return out.astype(x.dtype), amax
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(7,))
 def pointnet_fused(x, w1, b1, w2, b2, w3, b3, interpret=False):
-    """x: [O, P, 3]; weights [Cin, Cout]; biases [1, Cout]. Returns [O, C3]."""
-    return _forward(x, w1, b1, w2, b2, w3, b3, interpret)[0]
+    """x: [O, P, 3]; weights [Cin, Cout]; biases [1, Cout]. Returns [O, C3].
+
+    The primal (inference) call skips the argmax output; only the VJP forward
+    computes it (it routes the max-pool gradient in the backward kernel)."""
+    return _forward(x, w1, b1, w2, b2, w3, b3, interpret, with_argmax=False)[0]
 
 
 def _fwd_rule(x, w1, b1, w2, b2, w3, b3, interpret):
-    out, amax = _forward(x, w1, b1, w2, b2, w3, b3, interpret)
+    out, amax = _forward(x, w1, b1, w2, b2, w3, b3, interpret, with_argmax=True)
     return out, (x, w1, b1, w2, b2, w3, b3, amax)
 
 

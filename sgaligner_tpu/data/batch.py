@@ -78,15 +78,17 @@ PairBatch = dict[str, Any]
 def empty_pair_sample(spec: BatchSpec) -> dict[str, np.ndarray]:
     """An all-padding single-pair sample (no leading batch dim)."""
     n, p = spec.max_objects, spec.points_per_object
+    # points ship CHANNEL-FIRST [.., 3, P]: dense TPU tiling (a points-last
+    # minor dim of 3 pads to 128 lanes in HBM — 43x bloat; see PERF.md)
     if spec.compact_slots > 0:
         points_fields = {
-            "obj_points_compact": np.zeros((spec.compact_slots, p, 3),
+            "obj_points_compact": np.zeros((spec.compact_slots, 3, p),
                                            np.float32),
             "compact_idx": np.zeros((spec.compact_slots,), np.int32),
             "compact_mask": np.zeros((spec.compact_slots,), bool),
         }
     else:
-        points_fields = {"obj_points": np.zeros((2 * n, p, 3), np.float32)}
+        points_fields = {"obj_points": np.zeros((2 * n, 3, p), np.float32)}
     return {
         **points_fields,
         "obj_mask": np.zeros((2 * n,), bool),
@@ -149,19 +151,21 @@ def pack_pair(
         raise ValueError(f"too many anchors ({a} > {n})")
 
     out = empty_pair_sample(spec)
+    src_points_cf = np.transpose(np.asarray(src_points), (0, 2, 1))
+    ref_points_cf = np.transpose(np.asarray(ref_points), (0, 2, 1))
     if spec.compact_slots > 0:
         kc = spec.compact_slots
         if n_src + n_ref > kc:
             raise ValueError(
                 f"pair has {n_src + n_ref} real objects > compact_slots={kc}")
-        out["obj_points_compact"][:n_src] = src_points
-        out["obj_points_compact"][n_src : n_src + n_ref] = ref_points
+        out["obj_points_compact"][:n_src] = src_points_cf
+        out["obj_points_compact"][n_src : n_src + n_ref] = ref_points_cf
         out["compact_idx"][:n_src] = np.arange(n_src)
         out["compact_idx"][n_src : n_src + n_ref] = n + np.arange(n_ref)
         out["compact_mask"][: n_src + n_ref] = True
     else:
-        out["obj_points"][:n_src] = src_points
-        out["obj_points"][n : n + n_ref] = ref_points
+        out["obj_points"][:n_src] = src_points_cf
+        out["obj_points"][n : n + n_ref] = ref_points_cf
     out["obj_mask"][:n_src] = True
     out["obj_mask"][n : n + n_ref] = True
     out["bow_rel"][:n_src] = src_bow_rel

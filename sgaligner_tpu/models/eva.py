@@ -43,7 +43,7 @@ class EVA(nn.Module):
                     from sgaligner_tpu.models.sg_aligner import compact_scatter
 
                     pts = batch["obj_points_compact"].astype(self.dtype)
-                    pts = pts.reshape(-1, pts.shape[-2], 3)
+                    pts = pts.reshape(-1, 3, pts.shape[-1])
                     feat = PointNetEncoder(self.pt_out_dim,
                                            self.pointnet_bn_mode,
                                            dtype=self.dtype,
@@ -54,7 +54,8 @@ class EVA(nn.Module):
                                           batch["compact_mask"], two_n)
                     embs[module] = emb.reshape(b * two_n, -1)
                     continue
-                pts = batch["obj_points"].astype(self.dtype).reshape(b * two_n, -1, 3)
+                pts = batch["obj_points"].astype(self.dtype)
+                pts = pts.reshape(b * two_n, 3, pts.shape[-1])
                 # EVA uses the raw 200-d PointNet feature, no projection (eva.py:75)
                 emb = PointNetEncoder(self.pt_out_dim, self.pointnet_bn_mode,
                                       dtype=self.dtype,

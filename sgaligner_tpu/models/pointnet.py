@@ -60,7 +60,10 @@ class PointNetEncoder(nn.Module):
             (w2, b2) = _ConvParams(64, 128, self.dtype, name="conv2")()
             (w3, b3) = _ConvParams(128, self.out_size, self.dtype,
                                    name="conv3")()
-            return pointnet_fused(x, w1, b1[None], w2, b2[None], w3, b3[None])
+            # points are data: the fused op returns a zero x-cotangent
+            return pointnet_fused(jax.lax.stop_gradient(x), w1, b1[None],
+                                  w2, b2[None], w3, b3[None])
+        x = jnp.swapaxes(x, 1, 2)  # XLA path computes points-last
 
         def block(x, feats, name):
             x = nn.Dense(feats, name=name, dtype=self.dtype,

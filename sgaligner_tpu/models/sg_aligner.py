@@ -114,7 +114,8 @@ class MultiModalEncoder(nn.Module):
                     compact = False
                     pts = batch["obj_points"]
                     enc_mask = obj_mask
-                pts = pts.astype(self.dtype).reshape(-1, pts.shape[-2], 3)
+                # channel-first [.., 3, P] from the batch contract
+                pts = pts.astype(self.dtype).reshape(-1, 3, pts.shape[-1])
                 if module == "point":
                     feat = PointNetEncoder(self.pt_out_dim, self.pointnet_bn_mode,
                                            dtype=self.dtype,
@@ -123,8 +124,8 @@ class MultiModalEncoder(nn.Module):
                         pts, train=train)
                 else:
                     feat = NaivePCT(self.pt_out_dim, dtype=self.dtype,
-                                    name="object_encoder")(pts, enc_mask,
-                                                           train=train)
+                                    name="object_encoder")(
+                        jnp.swapaxes(pts, 1, 2), enc_mask, train=train)
                 emb = nn.Dense(self.emb_dim, dtype=self.dtype,
                                name="object_embedding")(feat)
                 if compact:

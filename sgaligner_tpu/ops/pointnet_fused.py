@@ -3,25 +3,27 @@
 The PointNet stack over a batch's objects is the hot op of the training step:
 three per-point matmuls over ~1M points whose [1M, 64/128/256]-wide activations
 XLA materializes in HBM between layers (matmul->matmul chains don't fuse). This
-kernel tiles whole objects into VMEM and runs the full stack there —
-activations never touch HBM.
+kernel tiles whole objects into VMEM and runs the full stack there.
 
-Layout notes (the perf-critical part):
-* The caller passes points FLAT as ``[O*P, 3]`` — an ``[T, P, 3]`` block would
-  pad its 3-wide last dim to 128 lanes and the in-kernel flatten becomes a VPU
-  relayout storm. Flat blocks need no reshape; only the final ``[R, C3] ->
-  [T, P, C3]`` max-pool reshape remains, and that splits the sublane dim
-  (cheap).
-* 1-D grid over object tiles (``T`` objects == ``T*P`` rows per step); the
-  ``[T, C3]`` max output requires T % 8 == 0 (Mosaic block constraint).
-* The backward kernel REMATERIALIZES the forward per tile and accumulates
-  weight grads in f32 across sequential grid steps (revisited VMEM blocks);
-  relu masks are kept as bools instead of f32 pre-activations to cut live VMEM.
+Layout notes (the perf-critical part; measured on v5e, PERF.md):
+* Points are CHANNEL-FIRST: ``[O, 3, P]``. A points-last array pads its 3-wide
+  minor dim to 128 lanes in HBM tiling — 43x storage/DMA bloat that dominated
+  earlier versions. Channel-first keeps P in lanes (dense) with only the
+  3->8 sublane pad (2.7x), and the first layer contracts the 3-dim via
+  ``dot_general`` with no in-kernel relayout; the resulting [T, P, 64] merges
+  its leading dims for the rest of the stack (sublane-merge, free).
+* NO input gradient: object point clouds are data, never differentiated — the
+  VJP returns a zero cotangent for x (callers stop_gradient the points), which
+  removes the dgrad-to-input matmul and a 43x-padded [O, P, 3] write from the
+  backward kernel.
+* Weight grads accumulate in f32 across sequential grid steps (revisited VMEM
+  blocks); relu masks are kept as bools to bound live VMEM.
 
 Semantics match the parity-mode PointNetfeat (conv->relu x3, global max over
 points; BN discarded — reference pointnet.py:140-163). The max-pool gradient
 routes to the (first) argmax element like ``torch.max`` — exactly what the
 reference trains with; jnp's even tie-split differs only on measure-zero ties.
+The argmax is only computed on the VJP forward, not the inference call.
 """
 
 from __future__ import annotations
@@ -34,40 +36,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                out_ref, *refs, t: int, p: int, with_argmax: bool):
+def _stack_from_cf(x, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, t, p,
+                   keep_masks=False):
+    """Channel-first [T, 3, P] -> pre-relu h3 [T*P, C3] (+ masks/h's if asked)."""
     f32 = jnp.float32
-    dt = x_ref.dtype
-    x = x_ref[:]                                           # [T*P, 3]
-    h = jnp.maximum(jnp.dot(x, w1_ref[:], preferred_element_type=f32)
-                    + b1_ref[:].astype(f32), 0.0).astype(dt)
-    h = jnp.maximum(jnp.dot(h, w2_ref[:], preferred_element_type=f32)
-                    + b2_ref[:].astype(f32), 0.0).astype(dt)
-    h3 = jnp.maximum(jnp.dot(h, w3_ref[:], preferred_element_type=f32)
-                     + b3_ref[:].astype(f32), 0.0)
-    h3 = h3.reshape(t, p, -1)                              # sublane split
-    out_ref[:] = jnp.max(h3, axis=1)
-    if with_argmax:  # only the training path needs the max-pool routing index
-        refs[0][:] = jnp.argmax(h3, axis=1).astype(jnp.int32)
-
-
-def _bwd_kernel(x_ref, dout_ref, amax_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                w3_ref, b3_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dw3_ref, db3_ref, *, t: int, p: int):
-    f32 = jnp.float32
-    dt = x_ref.dtype
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        for ref in (dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref):
-            ref[:] = jnp.zeros_like(ref)
-
-    x = x_ref[:]                                           # [T*P, 3]
-
-    # rematerialized forward; keep bool relu masks, not f32 pre-activations
-    a1 = jnp.dot(x, w1_ref[:], preferred_element_type=f32) \
-        + b1_ref[:].astype(f32)
+    dt = x.dtype
+    a1 = jax.lax.dot_general(x, w1_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)      # [T, P, 64]
+    a1 = a1.reshape(t * p, -1) + b1_ref[:].astype(f32)
     m1 = a1 > 0.0
     h1 = jnp.maximum(a1, 0.0).astype(dt)
     del a1
@@ -78,10 +54,40 @@ def _bwd_kernel(x_ref, dout_ref, amax_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     del a2
     a3 = jnp.dot(h2, w3_ref[:], preferred_element_type=f32) \
         + b3_ref[:].astype(f32)
-    m3 = a3 > 0.0
-    del a3
+    if keep_masks:
+        return a3, (m1, h1, m2, h2)
+    return a3, None
 
-    c3 = w3_ref.shape[1]
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                out_ref, *refs, t: int, p: int, with_argmax: bool):
+    a3, _ = _stack_from_cf(x_ref[:], w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                           b3_ref, t, p)
+    h3 = jnp.maximum(a3, 0.0).reshape(t, p, -1)
+    out_ref[:] = jnp.max(h3, axis=1)
+    if with_argmax:  # only the training path needs the max-pool routing index
+        refs[0][:] = jnp.argmax(h3, axis=1).astype(jnp.int32)
+
+
+def _bwd_kernel(x_ref, dout_ref, amax_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                w3_ref, b3_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref,
+                db3_ref, *, t: int, p: int):
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for ref in (dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    x = x_ref[:]                                           # [T, 3, P]
+    dt = x.dtype
+    a3, (m1, h1, m2, h2) = _stack_from_cf(x, w1_ref, b1_ref, w2_ref, b2_ref,
+                                          w3_ref, b3_ref, t, p,
+                                          keep_masks=True)
+    m3 = a3 > 0.0
+    c3 = a3.shape[-1]
+
     # gradient routes to the argmax point of each (object, channel)
     pt_idx = jax.lax.broadcasted_iota(jnp.int32, (t, p, c3), 1)
     picked = pt_idx == amax_ref[:][:, None, :]
@@ -99,25 +105,25 @@ def _bwd_kernel(x_ref, dout_ref, amax_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     g2 = jnp.where(m2, dg(g3, w3_ref), 0.0).astype(dt)
     g1 = jnp.where(m1, dg(g2, w2_ref), 0.0).astype(dt)
-    dx_ref[:] = dg(g1, w1_ref).astype(dx_ref.dtype)
+    # no dx: points are data (callers stop_gradient them)
 
     dw3_ref[:] += wg(h2, g3)
     db3_ref[:] += g3.astype(f32).sum(axis=0, keepdims=True)
     dw2_ref[:] += wg(h1, g2)
     db2_ref[:] += g2.astype(f32).sum(axis=0, keepdims=True)
-    dw1_ref[:] += wg(x, g1)
+    # dw1[c, d] = sum_t X[t] @ g1[t]: batched matmul + batch-sum (Mosaic has
+    # no double-contraction matmul)
+    g1t = g1.reshape(t, p, -1)
+    per_t = jax.lax.dot_general(x, g1t, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=f32)   # [T, 3, C1]
+    dw1_ref[:] += per_t.sum(axis=0)
     db1_ref[:] += g1.astype(f32).sum(axis=0, keepdims=True)
 
 
 def _pick_tile(o: int, p: int, itemsize: int, bwd: bool) -> int | None:
-    """Objects per grid step (whole-P rows), budgeted against ~16 MB VMEM.
-
-    Live set ≈ rows * (x:128pad + h1:128 + h2:128 + h3:256 lanes) * itemsize in
-    fwd, roughly doubled in bwd (+ masks + grads); the [T, C3] output block
+    """Objects per grid step, budgeted against ~16 MB VMEM (measured on v5e:
+    bf16 bwd fits at 8x512 rows; fwd at 16x512). The [T, C3] output block
     needs T % 8 == 0 (or T == O)."""
-    # Measured on v5e: bf16 bwd at 4096 rows fits (~12 MB actual); f32 bwd
-    # needs ~24 MB at the minimum legal tile (T=8) and must fall back to the
-    # unfused XLA path — bf16 is the production configuration anyway.
     budget = (7 if bwd else 10) * 2**20
     per_row = (1500 if bwd else 700) * itemsize // 2
     for t in (64, 32, 16, 8):
@@ -129,7 +135,9 @@ def _pick_tile(o: int, p: int, itemsize: int, bwd: bool) -> int | None:
 
 
 def _unfused(x, w1, b1, w2, b2, w3, b3):
-    h = jnp.maximum(x @ w1 + b1[0], 0.0)
+    """XLA fallback; x channel-first [O, 3, P]."""
+    xp = jnp.swapaxes(x, 1, 2)
+    h = jnp.maximum(xp @ w1 + b1[0], 0.0)
     h = jnp.maximum(h @ w2 + b2[0], 0.0)
     h = jnp.maximum(h @ w3 + b3[0], 0.0)
     return h.max(axis=1)
@@ -140,18 +148,17 @@ def _weight_specs():
 
 
 def _forward(x, w1, b1, w2, b2, w3, b3, interpret, with_argmax=True):
-    o, p, _ = x.shape
+    o, _, p = x.shape
     c3 = w3.shape[1]
     t = _pick_tile(o, p, x.dtype.itemsize, bwd=False)
     if t is None:
         return _unfused(x, w1, b1, w2, b2, w3, b3), None
-    xf = x.reshape(o * p, 3)
     n_out = 2 if with_argmax else 1
     outs = pl.pallas_call(
         partial(_fwd_kernel, t=t, p=p, with_argmax=with_argmax),
         grid=(o // t,),
         in_specs=[
-            pl.BlockSpec((t * p, 3), lambda i: (i, 0),
+            pl.BlockSpec((t, 3, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             *_weight_specs(),
         ],
@@ -161,7 +168,7 @@ def _forward(x, w1, b1, w2, b2, w3, b3, interpret, with_argmax=True):
                    + ([jax.ShapeDtypeStruct((o, c3), jnp.int32)]
                       if with_argmax else [])),
         interpret=interpret,
-    )(xf, w1, b1, w2, b2, w3, b3)
+    )(x, w1, b1, w2, b2, w3, b3)
     out = outs[0]
     amax = outs[1] if with_argmax else None
     return out.astype(x.dtype), amax
@@ -169,10 +176,12 @@ def _forward(x, w1, b1, w2, b2, w3, b3, interpret, with_argmax=True):
 
 @partial(jax.custom_vjp, nondiff_argnums=(7,))
 def pointnet_fused(x, w1, b1, w2, b2, w3, b3, interpret=False):
-    """x: [O, P, 3]; weights [Cin, Cout]; biases [1, Cout]. Returns [O, C3].
+    """x: [O, 3, P] channel-first; weights [Cin, Cout]; biases [1, Cout].
+    Returns [O, C3].
 
-    The primal (inference) call skips the argmax output; only the VJP forward
-    computes it (it routes the max-pool gradient in the backward kernel)."""
+    The cotangent for x is ZERO by design (points are data) — callers must
+    stop_gradient the points (models/pointnet.py does).
+    """
     return _forward(x, w1, b1, w2, b2, w3, b3, interpret, with_argmax=False)[0]
 
 
@@ -183,29 +192,28 @@ def _fwd_rule(x, w1, b1, w2, b2, w3, b3, interpret):
 
 def _bwd_rule(interpret, residuals, dout):
     x, w1, b1, w2, b2, w3, b3, amax = residuals
-    o, p, _ = x.shape
+    o, _, p = x.shape
     c1, c2, c3 = w1.shape[1], w2.shape[1], w3.shape[1]
     f32 = jnp.float32
     t = _pick_tile(o, p, x.dtype.itemsize, bwd=True)
     if t is None or amax is None:
         def ref_fn(*a):
             return (_unfused(*a) * dout).sum()
-        return jax.grad(ref_fn, argnums=tuple(range(7)))(x, w1, b1, w2, b2,
-                                                         w3, b3)
+        grads = jax.grad(ref_fn, argnums=tuple(range(1, 7)))(x, w1, b1, w2, b2,
+                                                             w3, b3)
+        return (jnp.zeros_like(x), *grads)
 
     grads = pl.pallas_call(
         partial(_bwd_kernel, t=t, p=p),
         grid=(o // t,),
         in_specs=[
-            pl.BlockSpec((t * p, 3), lambda i: (i, 0),
+            pl.BlockSpec((t, 3, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, c3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t, c3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *_weight_specs(),
         ],
         out_specs=[
-            pl.BlockSpec((t * p, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
             # weight/bias grads: same block every step -> sequential accumulate
             pl.BlockSpec((3, c1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -215,7 +223,6 @@ def _bwd_rule(interpret, residuals, dout):
             pl.BlockSpec((1, c3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((o * p, 3), x.dtype),
             jax.ShapeDtypeStruct((3, c1), f32),
             jax.ShapeDtypeStruct((1, c1), f32),
             jax.ShapeDtypeStruct((c1, c2), f32),
@@ -224,10 +231,10 @@ def _bwd_rule(interpret, residuals, dout):
             jax.ShapeDtypeStruct((1, c3), f32),
         ],
         interpret=interpret,
-    )(x.reshape(o * p, 3), dout, amax, w1, b1, w2, b2, w3, b3)
+    )(x, dout, amax, w1, b1, w2, b2, w3, b3)
 
-    dx, dw1, db1, dw2, db2, dw3, db3 = grads
-    return (dx.reshape(o, p, 3), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+    dw1, db1, dw2, db2, dw3, db3 = grads
+    return (jnp.zeros_like(x), dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype),
             dw3.astype(w3.dtype), db3.astype(b3.dtype))
 

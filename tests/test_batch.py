@@ -11,7 +11,7 @@ def test_pack_pair_layout():
     rng = np.random.default_rng(0)
     s = make_synthetic_pair(SPEC, rng, n_src=5, n_ref=7, n_anchor=3)
     n = SPEC.max_objects
-    assert s["obj_points"].shape == (2 * n, 32, 3)
+    assert s["obj_points"].shape == (2 * n, 3, 32)
     assert s["obj_mask"][:5].all() and not s["obj_mask"][5:n].any()
     assert s["obj_mask"][n : n + 7].all() and not s["obj_mask"][n + 7 :].any()
     assert s["n_src"] == 5 and s["n_ref"] == 7

@@ -84,7 +84,8 @@ def test_import_and_point_parity():
     embs = model.apply({"params": params}, batch, train=False)
 
     # point modality parity vs the hand-rolled reference forward
-    pts = batch["obj_points"].reshape(-1, SPEC.points_per_object, 3)
+    pts = batch["obj_points"].reshape(
+        -1, 3, SPEC.points_per_object).transpose(0, 2, 1)
     feat = manual_pointnet(sd, pts)
     want = feat @ sd["object_embedding.weight"].numpy().T \
         + sd["object_embedding.bias"].numpy()

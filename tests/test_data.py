@@ -32,7 +32,7 @@ def test_dataset_reads_workspace(tmp_path):
     ds = Scan3RDataset(cfg, split="val")
     assert len(ds) == 3
     s = ds[0]
-    assert s["obj_points"].shape == (24, 64, 3)
+    assert s["obj_points"].shape == (24, 3, 64)
     assert s["n_src"] == 7 and s["n_ref"] == 7
     assert s["anchor_mask"].sum() == 4            # all 4 shared anchors at val
     # anchored ids match across sides

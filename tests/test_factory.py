@@ -49,6 +49,25 @@ def test_torch_adam_semantics():
     assert float(new["w"][0]) < 1.0  # decays toward zero
 
 
+def test_grad_accumulation():
+    """grad_acc_steps=2 applies the averaged update every 2nd micro-batch
+    (reference grad-acc, base_trainer.py:173-176)."""
+    import optax
+
+    cfg = make_cfg()
+    cfg.optim.grad_acc_steps = 2
+    cfg.optim.weight_decay = 0.0
+    tx = build_optimizer(cfg)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g = {"w": jnp.full(3, 0.5)}
+
+    updates1, state = tx.update(g, state, params)
+    assert float(jnp.abs(updates1["w"]).sum()) == 0.0  # accumulating
+    updates2, state = tx.update(g, state, params)
+    assert float(jnp.abs(updates2["w"]).sum()) > 0.0   # applied
+
+
 def test_nonfinite_grad_skipped():
     import optax
 

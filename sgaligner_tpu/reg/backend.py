@@ -43,13 +43,16 @@ def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
 class MutualNNBackend:
     def __init__(self, voxel_size: float = 0.025, score_sigma: float = 0.05,
                  max_points: int = 10000, ransac_threshold: float = 0.03,
-                 ransac_iters: int = 1000, seed: int = 0):
+                 ransac_iters: int = 1000, seed: int = 0,
+                 refine_icp: bool = False, icp_iters: int = 10):
         self.voxel_size = voxel_size
         self.score_sigma = score_sigma
         self.max_points = max_points
         self.ransac_threshold = ransac_threshold
         self.ransac_iters = ransac_iters
         self.seed = seed
+        self.refine_icp = refine_icp
+        self.icp_iters = icp_iters
 
     def register(self, src_points: np.ndarray, ref_points: np.ndarray,
                  gt_transform: np.ndarray | None = None) -> dict | None:
@@ -84,6 +87,13 @@ class MutualNNBackend:
                                       seed=self.seed)
         if est is None:
             return None
+        if self.refine_icp:
+            from sgaligner_tpu.reg.icp import icp_refine_host
+
+            est, _ = icp_refine_host(src_d, ref_d, init_transform=est,
+                                     iters=self.icp_iters,
+                                     max_corr_dist=4 * self.voxel_size,
+                                     seed=self.seed)
         return {
             "estimated_transform": est,
             "src_corr_points": src_corr,

@@ -163,6 +163,11 @@ class Trainer:
                     self._dump_debug_state(batch, it)
             else:
                 timer.record_process()
+        if not board.meters:
+            # e.g. fewer pairs than batch_size with drop_last -> zero batches
+            self.logger.warning(
+                "train epoch produced ZERO batches — check dataset size vs "
+                "train.batch_size (drop_last discards partial batches)")
         summary = board.summary()
         summary["time/prepare"] = timer.prepare_mean
         summary["time/process"] = timer.process_mean

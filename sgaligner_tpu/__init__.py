@@ -17,3 +17,26 @@ python loops, see /root/reference/src/aligner/sg_aligner.py:86-110), this framew
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keep `import sgaligner_tpu` jax-free)."""
+    if name in ("MultiModalEncoder", "EVA"):
+        import sgaligner_tpu.models.eva as _eva
+        import sgaligner_tpu.models.sg_aligner as _sg
+
+        return {"MultiModalEncoder": _sg.MultiModalEncoder,
+                "EVA": _eva.EVA}[name]
+    if name == "Config":
+        from sgaligner_tpu.core.config import Config
+
+        return Config
+    if name in ("load_aligner", "Aligner"):
+        from sgaligner_tpu import api
+
+        return getattr(api, name)
+    if name == "Trainer":
+        from sgaligner_tpu.engine.trainer import Trainer
+
+        return Trainer
+    raise AttributeError(name)

@@ -49,9 +49,14 @@ class PreprocessConfig:
 class TrainConfig:
     batch_size: int = 4
     pc_res: int = 512
+    # The reference initializes these knobs but never applies augmentation
+    # (scan3r.py:44-55 — dead config upstream). Here augmentation actually
+    # works, gated behind augmentation_active so the default training
+    # behavior stays reference-identical.
     use_augmentation: bool = True
     rot_factor: float = 1.0
     augmentation_noise: float = 0.005
+    augmentation_active: bool = False
     log_steps: int = 1
 
 

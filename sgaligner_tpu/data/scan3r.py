@@ -71,6 +71,24 @@ class Scan3RDataset:
         return load_plydata_npy(
             osp.join(self.scans_scenes_dir, scan_id, "data.npy"), obj_ids=None)
 
+    def _augment_side(self, obj_pts: np.ndarray, rel_pose: np.ndarray,
+                      seed: int) -> tuple[np.ndarray, np.ndarray]:
+        """Working train-time augmentation (opt-in; the reference's equivalent
+        config is dead code, scan3r.py:44-55): a per-side random rotation about
+        the gravity axis (angle <= rot_factor * pi, the GeoTransformer-family
+        convention the knob names come from) + Gaussian point jitter. The
+        relative-translation graph features rotate with their side so the
+        structure modality stays geometrically consistent."""
+        rng = np.random.default_rng(seed)
+        theta = rng.uniform(-1.0, 1.0) * np.pi * self.cfg.train.rot_factor
+        c, s = np.cos(theta), np.sin(theta)
+        rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]],
+                       np.float32)
+        pts = obj_pts.astype(np.float32) @ rot.T
+        pts = pts + rng.normal(
+            0.0, self.cfg.train.augmentation_noise, pts.shape).astype(np.float32)
+        return pts, (rel_pose @ rot.T).astype(np.float32)
+
     @staticmethod
     def _fit_dim(bow: np.ndarray, dim: int, what: str) -> np.ndarray:
         """Right-pad BoW features to the configured vocab width.
@@ -119,6 +137,17 @@ class Scan3RDataset:
         src_obj_pts = src["obj_points"][self.pc_resolution] - pcl_center
         ref_obj_pts = ref["obj_points"][self.pc_resolution] - pcl_center
 
+        src_rel_pose = src["rel_trans"].astype(np.float32)
+        ref_rel_pose = ref["rel_trans"].astype(np.float32)
+        if (self.split == "train" and self.cfg.train.use_augmentation
+                and self.cfg.train.augmentation_active):
+            with self._rng_lock:
+                seeds = self.rng.integers(0, 2**31, size=2)
+            src_obj_pts, src_rel_pose = self._augment_side(
+                src_obj_pts, src_rel_pose, int(seeds[0]))
+            ref_obj_pts, ref_rel_pose = self._augment_side(
+                ref_obj_pts, ref_rel_pose, int(seeds[1]))
+
         src_id2idx, ref_id2idx = src["object_id2idx"], ref["object_id2idx"]
         e1i = np.array([src_id2idx[i] for i in anchor_obj_ids], np.int64)
         e2i = np.array([ref_id2idx[i] for i in anchor_obj_ids], np.int64)
@@ -143,8 +172,8 @@ class Scan3RDataset:
             ref_bow_attr=self._fit_dim(
                 ref["bow_vec_object_attr_feats"].astype(np.float32),
                 self.spec.attr_dim, "attribute"),
-            src_rel_pose=src["rel_trans"].astype(np.float32),
-            ref_rel_pose=ref["rel_trans"].astype(np.float32),
+            src_rel_pose=src_rel_pose,
+            ref_rel_pose=ref_rel_pose,
             src_edges=np.asarray(src["edges"], np.int64),
             ref_edges=np.asarray(ref["edges"], np.int64),
             e1i=e1i, e2i=e2i, e1j=e1j, e2j=e2j,

@@ -132,6 +132,39 @@ def test_preprocess_perturbation_modes(tmp_path):
     assert d_pert["objects_count"] < d_orig["objects_count"]
 
 
+def test_augmentation_opt_in(tmp_path):
+    """Augmentation is OFF by default (reference-identical behavior; its
+    augmentation config is dead code) and, when enabled, applies a per-side
+    z-rotation + jitter that preserves pairwise geometry and rotates the
+    rel_pose structure features consistently."""
+    make_synthetic_workspace(str(tmp_path), split="train", n_pairs=1)
+    cfg = _cfg(tmp_path)
+
+    ds_off = Scan3RDataset(cfg, split="train")
+    s_off = ds_off[0]
+
+    cfg.train.augmentation_active = True
+    ds_on = Scan3RDataset(cfg, split="train")
+    s_on = ds_on[0]
+
+    m = s_off["obj_mask"]
+    pts_off = s_off["obj_points"][m]   # [n, 3, P]
+    pts_on = s_on["obj_points"][m]
+    assert not np.allclose(pts_off, pts_on)
+    # per-object centroid distances from origin preserved up to jitter
+    c_off = np.linalg.norm(pts_off.mean(-1), axis=-1)
+    c_on = np.linalg.norm(pts_on.mean(-1), axis=-1)
+    np.testing.assert_allclose(c_off, c_on, atol=0.05)
+    # rel_pose norms preserved exactly under the rotation
+    np.testing.assert_allclose(
+        np.linalg.norm(s_off["rel_pose"][m], axis=-1),
+        np.linalg.norm(s_on["rel_pose"][m], axis=-1), rtol=1e-5, atol=1e-6)
+
+    # off-mode is unchanged vs a fresh dataset (deterministic contract)
+    s_off2 = Scan3RDataset(_cfg(tmp_path), split="train")[0]
+    np.testing.assert_array_equal(s_off["obj_points"], s_off2["obj_points"])
+
+
 def test_fps_device_matches_host_semantics():
     """The batched jax FPS selects a maximally-spread subset like the host FPS."""
     import jax.numpy as jnp

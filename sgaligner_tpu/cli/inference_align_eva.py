@@ -33,7 +33,8 @@ def main(argv=None) -> int:
 
     loader = get_val_dataloader(cfg)
     tester = AlignRegTester(cfg, loader.dataset, loader,
-                            snapshot=args.snapshot, test_epoch=args.test_epoch)
+                            snapshot=args.snapshot, test_epoch=args.test_epoch,
+                            test_iter=args.test_iter)
     results = tester.run()
     print(json.dumps(results, default=float))
     return 0

@@ -2,7 +2,8 @@
 
 CLI-compatible with /root/reference/src/inference/sgaligner/
 inference_align_reg.py:191-200: ``--config``, ``--snapshot``, ``--test_epoch``,
-``--test_iter`` (accepted; epoch-named snapshots are the unit here), and
+``--test_iter`` (resolves <snapshot_dir>/iter-<n>[.pth.tar] like the
+reference's base_tester.py:28-34; errors if absent), and
 ``--reg_snapshot`` (only needed for the geotransformer backend — the built-in
 'ransac' backend is self-contained).
 """
@@ -42,7 +43,8 @@ def main(argv=None) -> int:
 
     tester = AlignRegTester(cfg, loader.dataset, loader,
                             registration_evaluator=reg_eval,
-                            snapshot=args.snapshot, test_epoch=args.test_epoch)
+                            snapshot=args.snapshot, test_epoch=args.test_epoch,
+                            test_iter=args.test_iter)
     results = tester.run()
     print(json.dumps(results, default=float))
     return 0

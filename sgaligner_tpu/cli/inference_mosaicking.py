@@ -46,7 +46,8 @@ def main(argv=None) -> int:
     tester = MosaickTester(cfg, reg_eval, scan_subscan_map,
                            subscans_dir=cfg.data.subscan_dir,
                            max_scans=args.max_scans or None,
-                           snapshot=args.snapshot, test_epoch=args.test_epoch)
+                           snapshot=args.snapshot, test_epoch=args.test_epoch,
+                           test_iter=args.test_iter)
     results = tester.run()
     print(json.dumps(results, default=float))
     return 0

@@ -131,7 +131,11 @@ class Scan3RDataset:
         anchor_obj_ids = [i for i in anchor_obj_ids if i != 0
                           and i in src_object_ids and i in ref_object_ids]
         if self.split == "train":
-            anchor_cnt = max(2, int(0.3 * len(anchor_obj_ids)))
+            # Parity-exact with /root/reference/src/datasets/scan3r.py:89-90:
+            # int(0.3*len) unless that is <1, in which case 2 — NOT max(2, .),
+            # so pairs with 4-6 anchors train on exactly 1 anchor.
+            anchor_cnt = (2 if int(0.3 * len(anchor_obj_ids)) < 1
+                          else int(0.3 * len(anchor_obj_ids)))
             anchor_obj_ids = anchor_obj_ids[:anchor_cnt]
 
         src_obj_pts = src["obj_points"][self.pc_resolution] - pcl_center

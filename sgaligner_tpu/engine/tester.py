@@ -38,7 +38,8 @@ class BaseTester:
     """Snapshot resolution + jitted forward (base_tester.py:14-79 role)."""
 
     def __init__(self, cfg: Config, snapshot: str | None = None,
-                 test_epoch: int | None = None, log_file: str | None = None):
+                 test_epoch: int | None = None, test_iter: int | None = None,
+                 log_file: str | None = None):
         self.cfg = cfg
         self.logger = Logger(log_file)
         self.mesh = make_mesh(cfg.tpu.dp)
@@ -49,6 +50,16 @@ class BaseTester:
 
         if snapshot is None and test_epoch is not None:
             snapshot = osp.join(cfg.snapshot_dir, f"epoch-{test_epoch}")
+        if snapshot is None and test_iter is not None:
+            # the reference resolves --test_iter to iter-<n>.pth.tar
+            # (base_tester.py:28-34); honor both our orbax layout and a torch
+            # import, and fail loudly instead of silently ignoring the flag
+            cands = [osp.join(cfg.snapshot_dir, f"iter-{test_iter}"),
+                     osp.join(cfg.snapshot_dir, f"iter-{test_iter}.pth.tar")]
+            snapshot = next((c for c in cands if osp.exists(c)), None)
+            if snapshot is None:
+                raise FileNotFoundError(
+                    f"--test_iter {test_iter}: none of {cands} exist")
         if snapshot is None:
             snapshot = ckpt.latest_snapshot(cfg.snapshot_dir)
         if snapshot is None:
@@ -60,7 +71,8 @@ class BaseTester:
             lambda p, bs, b: _apply_model(self.model, p, bs, b, False, None)[0])
         self.eval_step = make_eval_step(self.model, self.modules, kind=self.kind,
                                         zoom=cfg.loss.zoom,
-                                        ks=tuple(cfg.metrics.all_k))
+                                        ks=tuple(cfg.metrics.all_k),
+                                        with_sim=bool(cfg.registration))
         self.logger.info(f"loaded snapshot {snapshot}")
 
     def _load(self, snapshot: str):
@@ -136,7 +148,10 @@ class AlignRegTester(BaseTester):
                     (np.asarray(out["sgar"][mode])[:b] * pv).sum())
 
             if self.run_reg:
-                sim = self.sim_matrices(batch)
+                # sim matrices come from THE SAME jitted forward (the reference
+                # ran a second model forward per batch here — weak #5 in
+                # round-1 review; eval_step returns them when registration on)
+                sim = np.asarray(out["sim"])
                 for i in range(b):
                     self._register_pair(batch, sim, i, pair_idx + i,
                                         normal_board, aligner_board)

@@ -100,8 +100,14 @@ def make_train_step(model, tx, modules: tuple[str, ...], kind: str = "overall",
 
 
 def make_eval_step(model, modules: tuple[str, ...], kind: str = "overall",
-                   zoom: float = 0.1, ks: tuple[int, ...] = (1, 2, 3, 4, 5)):
-    """Returns jitted (params, batch_stats, batch) -> metric components."""
+                   zoom: float = 0.1, ks: tuple[int, ...] = (1, 2, 3, 4, 5),
+                   with_sim: bool = False):
+    """Returns jitted (params, batch_stats, batch) -> metric components.
+
+    with_sim=True also returns the per-pair similarity matrices so downstream
+    consumers (registration seeding) reuse THIS forward instead of running a
+    second one — opt-in because fetching [B, 2N, 2N] to host costs transfer
+    time the pure-metrics eval path doesn't need."""
 
     @jax.jit
     def eval_step(params, batch_stats, batch) -> dict:
@@ -132,6 +138,8 @@ def make_eval_step(model, modules: tuple[str, ...], kind: str = "overall",
             "alignment_score": M.alignment_score(
                 sim, batch["n_src"], batch["n_ref"], two_n // 2),
         }
+        if with_sim:
+            out["sim"] = sim
         for k, (correct, total) in hits.items():
             out[f"hits@{k}"] = (correct, total)
         return out

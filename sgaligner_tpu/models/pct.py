@@ -18,7 +18,46 @@ TPU notes:
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class _DenseParams(nn.Module):
+    """Parameter container matching nn.Dense's {kernel[, bias]} tree — lets
+    the fused attention path share one param tree (and torch-checkpoint
+    mapping) with the unfused Dense path."""
+
+    din: int
+    dout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.din, self.dout), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.dout,),
+                        jnp.float32) if self.use_bias else None)
+        return k, b
+
+
+def _use_fused(flag: str) -> bool:
+    return (flag == "always"
+            or (flag == "auto" and jax.default_backend() != "cpu"))
+
+
+def _fused_attention(x, channels: int, dtype,
+                     scale: bool, double_norm: bool) -> jnp.ndarray:
+    """Shared q/k + v projections + attention via the fused Pallas op.
+    Must be called from inside a module's compact scope."""
+    from sgaligner_tpu.ops.pct_attention import pct_attention_fused
+
+    da = channels // 4
+    wqk, _ = _DenseParams(channels, da, use_bias=False, name="qk")()
+    wv, bv = _DenseParams(channels, channels, name="v")()
+    interpret = jax.default_backend() == "cpu"  # fused="always" in CPU tests
+    return pct_attention_fused(x.astype(dtype), wqk.astype(dtype),
+                               wv.astype(dtype), bv.astype(dtype),
+                               scale, double_norm, interpret)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -40,11 +79,19 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
 
         if train:
-            m = mask.astype(jnp.float32)[..., None]
-            count = jnp.maximum(m.sum(), 1.0)
+            # One-pass moments with f32 ACCUMULATION over the (possibly bf16)
+            # input — jnp.sum(dtype=f32) reduces without materializing an f32
+            # upcast of the [O*P, C] activation (the PCT tail's activations
+            # are 0.5 GB at B=8; a second (x-mean)² pass would re-read them).
+            f32 = jnp.float32
+            m = mask.astype(x.dtype)[..., None]
+            count = jnp.maximum(mask.astype(f32).sum()
+                                * (x.size // (mask.size * self.features)), 1.0)
             red = tuple(range(x.ndim - 1))
-            mean = (x * m).sum(red) / count
-            var = ((x - mean) ** 2 * m).sum(red) / count
+            xm = x * m
+            mean = jnp.sum(xm, red, dtype=f32) / count
+            ex2 = jnp.sum(jnp.square(xm), red, dtype=f32) / count
+            var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 # torch running_var uses the unbiased estimator
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
@@ -53,8 +100,12 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) / jnp.sqrt(var + self.epsilon)
-        return y * scale + bias
+        # normalize in the input dtype with f32 per-channel scalars folded to
+        # one multiply + one add (w = s/sqrt(var+eps); b = bias - mean*w)
+        w = (scale.astype(jnp.float32)
+             / jnp.sqrt(var.astype(jnp.float32) + self.epsilon))
+        b = bias.astype(jnp.float32) - mean.astype(jnp.float32) * w
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 
 class OABlock(nn.Module):
@@ -64,18 +115,23 @@ class OABlock(nn.Module):
 
     channels: int = 128
     dtype: jnp.dtype = jnp.float32
+    fused: str = "auto"  # "auto" | "never" | "always" (Pallas attention)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
-        da = self.channels // 4
-        qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
-        x_q, x_k = qk(x), qk(x)
-        x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
+        if _use_fused(self.fused):
+            x_r = _fused_attention(x, self.channels, self.dtype,
+                                   scale=False, double_norm=True)
+        else:
+            da = self.channels // 4
+            qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
+            x_q, x_k = qk(x), qk(x)
+            x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
 
-        energy = jnp.einsum("opd,oqd->opq", x_q, x_k)   # no sqrt(da) scaling
-        attention = nn.softmax(energy, axis=-1)
-        attention = attention / (1e-9 + attention.sum(axis=1, keepdims=True))
-        x_r = jnp.einsum("opc,opq->oqc", x_v, attention)
+            energy = jnp.einsum("opd,oqd->opq", x_q, x_k)  # no sqrt(da) scaling
+            attention = nn.softmax(energy, axis=-1)
+            attention = attention / (1e-9 + attention.sum(axis=1, keepdims=True))
+            x_r = jnp.einsum("opc,opq->oqc", x_v, attention)
         x_r = nn.Dense(self.channels, dtype=self.dtype, name="trans")(x - x_r)
         x_r = MaskedBatchNorm(self.channels, name="after_norm")(
             x_r, mask[:, None], train)
@@ -87,22 +143,27 @@ class SABlock(nn.Module):
 
     channels: int = 128
     dtype: jnp.dtype = jnp.float32
+    fused: str = "auto"  # "auto" | "never" | "always" (Pallas attention)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         """x: [O, P, C] (points = sequence axis). mask: [O] valid objects."""
-        da = self.channels // 4
-        # q and k share ONE weight matrix (pct.py:199: q_conv.weight = k_conv.weight)
-        qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
-        x_q = qk(x)                                  # [O, P, da]
-        x_k = qk(x)                                  # same projection
-        x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
+        if _use_fused(self.fused):
+            x_s = _fused_attention(x, self.channels, self.dtype,
+                                   scale=True, double_norm=False)
+        else:
+            da = self.channels // 4
+            # q and k share ONE weight matrix (pct.py:199: q_conv.weight = k_conv.weight)
+            qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
+            x_q = qk(x)                                  # [O, P, da]
+            x_k = qk(x)                                  # same projection
+            x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
 
-        energy = jnp.einsum("opd,oqd->opq", x_q, x_k) / jnp.sqrt(float(da))
-        attention = nn.softmax(energy, axis=-1)      # softmax over q axis (quirk)
-        # reference: x_s = bmm(x_v[B,C,N], attention[B,N,N]) -> out[:, :, j] sums
-        # over the first attention index; channel-last equivalent:
-        x_s = jnp.einsum("opc,opq->oqc", x_v, attention)
+            energy = jnp.einsum("opd,oqd->opq", x_q, x_k) / jnp.sqrt(float(da))
+            attention = nn.softmax(energy, axis=-1)      # softmax over q axis (quirk)
+            # reference: x_s = bmm(x_v[B,C,N], attention[B,N,N]) -> out[:, :, j]
+            # sums over the first attention index; channel-last equivalent:
+            x_s = jnp.einsum("opc,opq->oqc", x_v, attention)
         x_s = nn.Dense(self.channels, dtype=self.dtype, name="trans")(x_s)
         x_s = MaskedBatchNorm(self.channels, name="after_norm")(x_s, mask[:, None], train)
         return x + nn.relu(x_s)
@@ -111,6 +172,7 @@ class SABlock(nn.Module):
 class NaivePCT(nn.Module):
     out_size: int = 256
     dtype: jnp.dtype = jnp.float32
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
@@ -127,7 +189,8 @@ class NaivePCT(nn.Module):
 
         feats = []
         for i in range(4):
-            x = SABlock(128, dtype=self.dtype, name=f"sa{i + 1}")(x, mask, train)
+            x = SABlock(128, dtype=self.dtype, fused=self.fused,
+                        name=f"sa{i + 1}")(x, mask, train)
             feats.append(x)
         x = jnp.concatenate(feats, axis=-1)          # [O, P, 512]
 
@@ -153,6 +216,7 @@ class SPCT(nn.Module):
     no MLP head here — it is a feature extractor)."""
 
     dtype: jnp.dtype = jnp.float32
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
@@ -166,7 +230,8 @@ class SPCT(nn.Module):
 
         feats = []
         for i in range(4):
-            x = OABlock(128, dtype=self.dtype, name=f"sa{i + 1}")(x, mask, train)
+            x = OABlock(128, dtype=self.dtype, fused=self.fused,
+                        name=f"sa{i + 1}")(x, mask, train)
             feats.append(x)
         x = jnp.concatenate(feats, axis=-1)          # [O, P, 512]
         x = nn.Dense(1024, use_bias=False, dtype=self.dtype, name="linear")(x)
@@ -210,6 +275,7 @@ class FullPCT(nn.Module):
     out_size: int = 256
     samples: tuple[int, int] = (512, 256)
     dtype: jnp.dtype = jnp.float32
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
@@ -230,7 +296,8 @@ class FullPCT(nn.Module):
 
         feats = [x]
         for i in range(4):
-            x = OABlock(256, dtype=self.dtype, name=f"oa{i + 1}")(x, mask, train)
+            x = OABlock(256, dtype=self.dtype, fused=self.fused,
+                        name=f"oa{i + 1}")(x, mask, train)
             feats.append(x)
         x = jnp.concatenate(feats, axis=-1)              # [O, s2, 1280]
         x = nn.Dense(1024, use_bias=False, dtype=self.dtype, name="linear")(x)

@@ -124,6 +124,7 @@ class MultiModalEncoder(nn.Module):
                         pts, train=train)
                 else:
                     feat = NaivePCT(self.pt_out_dim, dtype=self.dtype,
+                                    fused=self.pointnet_fused,
                                     name="object_encoder")(
                         jnp.swapaxes(pts, 1, 2), enc_mask, train=train)
                 emb = nn.Dense(self.emb_dim, dtype=self.dtype,

@@ -52,6 +52,22 @@ def test_train_split_subsamples_anchors(tmp_path):
     assert s["anchor_mask"].sum() == 2
 
 
+def test_train_anchor_subsample_parity_small_counts(tmp_path):
+    """Reference expression `2 if int(0.3*len)<1 else int(0.3*len)`
+    (/root/reference/src/datasets/scan3r.py:89-90): 5 anchors -> int(1.5)=1,
+    NOT max(2, 1)=2 — pairs with 4-6 anchors train on exactly ONE anchor."""
+    make_synthetic_workspace(str(tmp_path), split="train", n_pairs=2, n_shared=5)
+    cfg = _cfg(tmp_path)
+    ds = Scan3RDataset(cfg, split="train")
+    assert ds[0]["anchor_mask"].sum() == 1
+    # and below the 0.3 floor (len<=3 -> int<1) the count snaps to 2
+    make_synthetic_workspace(str(tmp_path / "w2"), split="train", n_pairs=2,
+                             n_shared=3)
+    cfg2 = _cfg(tmp_path / "w2")
+    ds2 = Scan3RDataset(cfg2, split="train")
+    assert ds2[0]["anchor_mask"].sum() == 2
+
+
 def test_val_overlap_band_filter(tmp_path):
     make_synthetic_workspace(str(tmp_path), split="val", n_pairs=5)
     cfg = _cfg(tmp_path)

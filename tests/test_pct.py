@@ -118,3 +118,58 @@ def test_pct_engine_train_step():
     # running stats actually moved
     flat = jax.tree.leaves(state.batch_stats)
     assert any(float(jnp.abs(x).sum()) > 0 for x in flat)
+
+
+def test_masked_bn_matches_torch_batchnorm1d():
+    """Train-mode MaskedBatchNorm on fully-valid input == torch BatchNorm1d
+    over [N, C, L] (normalizes per channel over N*L rows — the reference's
+    BN semantics, pct.py: nn.BatchNorm1d after every conv)."""
+    import torch
+
+    from sgaligner_tpu.models.pct import MaskedBatchNorm
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(5, 9, 16)).astype(np.float32)  # [O, P, C]
+    mask = np.ones(5, bool)
+
+    bn = MaskedBatchNorm(16)
+    variables = bn.init(jax.random.key(0), jnp.array(x), jnp.array(mask)[:, None],
+                        train=False)
+    out, upd = bn.apply(variables, jnp.array(x), jnp.array(mask)[:, None],
+                        train=True, mutable=["batch_stats"])
+
+    tbn = torch.nn.BatchNorm1d(16)
+    with torch.no_grad():
+        # torch layout: [N, C, L]
+        tout = tbn(torch.from_numpy(x).permute(0, 2, 1)).permute(0, 2, 1)
+
+    np.testing.assert_allclose(np.asarray(out), tout.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["var"]),
+                               tbn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_masked_bn_2d_input_matches_torch():
+    """Head BNs normalize [O, C] rows (torch BatchNorm1d on 2-D input)."""
+    import torch
+
+    from sgaligner_tpu.models.pct import MaskedBatchNorm
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(12, 8)).astype(np.float32)
+    mask = np.ones(12, bool)
+
+    bn = MaskedBatchNorm(8)
+    variables = bn.init(jax.random.key(0), jnp.array(x), jnp.array(mask),
+                        train=False)
+    out, upd = bn.apply(variables, jnp.array(x), jnp.array(mask),
+                        train=True, mutable=["batch_stats"])
+    tbn = torch.nn.BatchNorm1d(8)
+    with torch.no_grad():
+        tout = tbn(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(out), tout.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["var"]),
+                               tbn.running_var.numpy(), rtol=1e-4, atol=1e-5)

@@ -1,15 +1,28 @@
-"""Throughput benchmark: subscan pairs aligned per second per chip (training).
+"""Throughput benchmark: subscan pairs trained per second per chip.
 
-Runs the flagship 4-modality SGAligner training step (forward + OverallLoss +
-grads + Adam) at reference-realistic shapes (512 points/object, up to 32 objects
-per subscan graph) on whatever accelerator jax selects, and prints ONE JSON line.
+Benchmarks the FLAGSHIP released configuration — the 4-modality SGAligner
+with the NaivePCT encoder (``modules: ['pct','gat','rel','attr']``, the
+reference's scan3r_ground_truth.yaml) — full training step (forward +
+OverallLoss + grads + Adam) and reports the pairs/s as the primary metric.
+The PointNet variant (``point``) is reported as a secondary field.
 
-Baseline: the reference publishes no throughput numbers (SURVEY.md §6). The
-``vs_baseline`` denominator is an *estimate* of the reference PyTorch pipeline on
-an A100: its forward python-loops 2×batch_size GATConv calls with dynamic shapes
-per step (reference sg_aligner.py:86-110) and trains at batch_size=2-4; we
-estimate 25 pairs/s. Marked as an estimate until an empirical A100 measurement
-exists; the relative number is informational, the absolute pairs/s is the metric.
+Pinned configuration (echoed in the JSON so round-over-round numbers are
+comparable — round-1 review weak #7):
+* 512 points/object (reference pc_res), 32 object slots per graph,
+* synthetic occupancy: objects per side ~ U[6, 20], seed 0 (mean ~13 real of
+  32 slots — matches the real-data occupancy recorded in PERF.md),
+* host-style compaction bound 40 slots/pair (covers the worst pair),
+* bf16 compute, f32 params; B=8 pairs/step,
+* 3 timed windows of 20 steps; value = median window, variance = spread.
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
+``vs_baseline`` divides by a 25 pairs/s estimate of the reference PyTorch
+pipeline on an A100; ``scripts/bench_reference_cpu.py`` measures the
+reference-semantics torch pipeline on this host's CPU to ground that
+estimate (see PERF.md "Reference baseline" for the derivation).
+
+NOTE: timings force a value readback (`float(jax.device_get(...))`) — under
+tunneled PJRT backends `block_until_ready` returns at dispatch time.
 """
 
 from __future__ import annotations
@@ -22,14 +35,16 @@ import numpy as np
 
 A100_PYTORCH_PAIRS_PER_SEC_ESTIMATE = 25.0
 
-BATCH_SIZE = 32          # pairs per step (the TPU path scales batch freely)
+BATCH_SIZE = 32
 MAX_OBJECTS = 32
 POINTS_PER_OBJECT = 512
+COMPACT_SLOTS = 40
 WARMUP_STEPS = 5
-BENCH_STEPS = 60
+WINDOW_STEPS = 20
+N_WINDOWS = 3
 
 
-def main() -> None:
+def bench_config(modules: list[str]) -> dict:
     from sgaligner_tpu.core.config import make_cfg
     from sgaligner_tpu.data.batch import BatchSpec
     from sgaligner_tpu.data.synthetic import make_synthetic_batch
@@ -37,11 +52,11 @@ def main() -> None:
     from sgaligner_tpu.engine.train_step import create_train_state, make_train_step
     from sgaligner_tpu.ops.objective import init_loss_params
 
-    cfg = make_cfg(model_name="sgaligner", modules=["point", "gat", "rel", "attr"])
+    cfg = make_cfg(model_name="sgaligner", modules=modules)
     cfg.tpu.max_objects = MAX_OBJECTS
     cfg.tpu.points_per_object = POINTS_PER_OBJECT
-    # production config: bf16 compute (f32 params/accum), fused Pallas PointNet
     cfg.tpu.compute_dtype = "bfloat16"
+    cfg.tpu.compact_slots = COMPACT_SLOTS
 
     spec = BatchSpec(batch_size=BATCH_SIZE, max_objects=MAX_OBJECTS,
                      points_per_object=POINTS_PER_OBJECT)
@@ -50,7 +65,7 @@ def main() -> None:
 
     model = build_model(cfg)
     tx = build_optimizer(cfg)
-    state = create_train_state(model, tx, batch, init_loss_params(4),
+    state = create_train_state(model, tx, batch, init_loss_params(len(modules)),
                                jax.random.key(0))
     step = make_train_step(model, tx, tuple(cfg.modules))
 
@@ -58,22 +73,41 @@ def main() -> None:
         state, metrics = step(state, batch)
     float(jax.device_get(metrics["loss"]))
 
-    # NOTE: time with an actual value readback, not block_until_ready — under
-    # tunneled/remote PJRT backends block_until_ready can return at dispatch
-    # time. Steps are chained through the donated state, so fetching the final
-    # loss forces every step in the window to complete.
-    t0 = time.perf_counter()
-    for _ in range(BENCH_STEPS):
-        state, metrics = step(state, batch)
-    float(jax.device_get(metrics["loss"]))
-    dt = time.perf_counter() - t0
+    windows = []
+    for _ in range(N_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(WINDOW_STEPS):
+            state, metrics = step(state, batch)
+        # steps chain through the donated state; fetching the loss forces
+        # every step in the window to complete
+        float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
+        windows.append(BATCH_SIZE * WINDOW_STEPS / dt)
+    windows.sort()
+    med = windows[len(windows) // 2]
+    return {"pairs_per_sec": round(med, 1),
+            "window_min": round(windows[0], 1),
+            "window_max": round(windows[-1], 1)}
 
-    pairs_per_sec = BATCH_SIZE * BENCH_STEPS / dt
+
+def main() -> None:
+    pct = bench_config(["pct", "gat", "rel", "attr"])
+    point = bench_config(["point", "gat", "rel", "attr"])
     print(json.dumps({
-        "metric": "train_subscan_pairs_per_sec_per_chip",
-        "value": round(pairs_per_sec, 2),
+        "metric": "train_pairs_per_sec_per_chip_pct_flagship",
+        "value": pct["pairs_per_sec"],
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / A100_PYTORCH_PAIRS_PER_SEC_ESTIMATE, 2),
+        "vs_baseline": round(pct["pairs_per_sec"]
+                             / A100_PYTORCH_PAIRS_PER_SEC_ESTIMATE, 2),
+        "variance_band": [pct["window_min"], pct["window_max"]],
+        "point_config_pairs_per_sec": point["pairs_per_sec"],
+        "point_variance_band": [point["window_min"], point["window_max"]],
+        "config": {"batch_size": BATCH_SIZE, "max_objects": MAX_OBJECTS,
+                   "points_per_object": POINTS_PER_OBJECT,
+                   "compact_slots": COMPACT_SLOTS,
+                   "occupancy": "U[6,20] objects/side, seed 0",
+                   "dtype": "bfloat16",
+                   "windows": f"{N_WINDOWS}x{WINDOW_STEPS} steps"},
     }))
 
 

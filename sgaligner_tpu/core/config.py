@@ -128,6 +128,10 @@ class RegModelConfig:
     # Registration backend: "ransac" (built-in JAX batched Kabsch-RANSAC),
     # "cpp" (host C++ lib), "geotransformer" (external adapter).
     backend: str = "ransac"
+    # Coarse initializer for the MutualNN backend: "none" (reference's
+    # same-world-frame eval semantics) or "pca" (principal-axes alignment,
+    # needed when subscan pairs carry a non-identity gt transform).
+    coarse: str = "none"
 
 
 @dataclass

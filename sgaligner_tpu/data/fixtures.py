@@ -29,10 +29,25 @@ REL_DIM = 41
 ATTR_DIM = 164
 
 
+def _blob(rng: np.random.Generator, n_pts: int) -> np.ndarray:
+    """Anisotropic object geometry (~0.3 m): real objects have distinct
+    principal axes — isotropic gaussian blobs would make any PCA-based
+    coarse registration degenerate."""
+    scale = np.array([0.45, 0.25, 0.12]) * (0.8 + 0.4 * rng.random(3))
+    axes, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    return rng.normal(size=(n_pts, 3)) * scale @ axes.T
+
+
 def _make_subscan(rng: np.random.Generator, scan_id: str, object_ids: np.ndarray,
                   centers: np.ndarray, local_geoms: list[np.ndarray],
-                  pc_resolutions: list[int]) -> tuple[dict, np.ndarray]:
-    """Build one subscan's pkl dict + structured point cloud."""
+                  pc_resolutions: list[int],
+                  shared_bow: tuple[np.ndarray, np.ndarray] | None = None
+                  ) -> tuple[dict, np.ndarray]:
+    """Build one subscan's pkl dict + structured point cloud.
+
+    ``shared_bow`` (rel, attr) rows overwrite the leading objects' BoW
+    features — anchors in real data are the SAME object in both subscans, so
+    their graph-derived features coincide; matching relies on that."""
     n = len(object_ids)
     all_pts, all_oids = [], []
     obj_points = {res: [] for res in pc_resolutions}
@@ -65,6 +80,10 @@ def _make_subscan(rng: np.random.Generator, scan_id: str, object_ids: np.ndarray
 
     bow_rel = rng.integers(0, 3, size=(n, REL_DIM)).astype(np.float64)
     bow_attr = (rng.random((n, ATTR_DIM)) < 0.05).astype(np.float64)
+    if shared_bow is not None:
+        k = len(shared_bow[0])
+        bow_rel[:k] = shared_bow[0]
+        bow_attr[:k] = shared_bow[1]
 
     pkl = {
         "scan_id": scan_id,
@@ -101,6 +120,7 @@ def make_synthetic_workspace(
     pc_resolutions: list[int] | None = None,
     seed: int = 0,
     n_nonoverlap_pairs: int = 0,
+    ref_transform: np.ndarray | None = None,
 ) -> dict:
     """Write a workspace of ``n_pairs`` overlapping subscan pairs; returns info.
 
@@ -108,7 +128,12 @@ def make_synthetic_workspace(
     overlap 0.0 (the overlapper-eval fileset, reference
     gen_all_pairs_fileset.py:12-53). Also writes a scan->subscan map json
     (``scan_subscan_map_<split>.json``) treating each pair as two subscans of
-    one scan, for mosaicking."""
+    one scan, for mosaicking.
+
+    ``ref_transform`` (4x4) expresses every REF subscan in a rigidly
+    transformed frame (like 3RScan rescans vs their reference scan) and
+    records it in the pair's anchors entry under ``"transform"`` — the
+    registration path must then recover it instead of identity."""
     pc_resolutions = pc_resolutions or [64]
     rng = np.random.default_rng(seed)
     scans_dir = osp.join(root, "scans")
@@ -120,8 +145,11 @@ def make_synthetic_workspace(
     for p in range(n_pairs + n_nonoverlap_pairs):
         overlapping = p < n_pairs
         shared_ids = np.arange(1, n_shared + 1)
-        shared_geoms = [rng.normal(0, 0.3, size=(pts_per_obj, 3)) for _ in shared_ids]
+        shared_geoms = [_blob(rng, pts_per_obj) for _ in shared_ids]
         shared_centers = rng.uniform(-3, 3, size=(n_shared, 3))
+        shared_bow = (
+            rng.integers(0, 3, size=(n_shared, REL_DIM)).astype(np.float64),
+            (rng.random((n_shared, ATTR_DIM)) < 0.05).astype(np.float64))
 
         pair_scans = {}
         for side in ("src", "ref"):
@@ -129,7 +157,7 @@ def make_synthetic_workspace(
             extra_ids = np.arange(extra_lo, extra_lo + n_extra)
             if overlapping:
                 ids = np.concatenate([shared_ids, extra_ids])
-                geoms = shared_geoms + [rng.normal(0, 0.3, size=(pts_per_obj, 3))
+                geoms = shared_geoms + [_blob(rng, pts_per_obj)
                                         for _ in extra_ids]
                 # shared objects are bit-identical across sides: real subscans
                 # carve the SAME scene cloud, and the GT-correspondence path
@@ -141,24 +169,34 @@ def make_synthetic_workspace(
                 ids = np.concatenate([np.arange(lo, lo + n_shared), extra_ids])
                 offset = np.array([0.0, 0.0, 0.0]) if side == "src" else \
                     np.array([20.0, 0.0, 0.0])
-                geoms = [rng.normal(0, 0.3, size=(pts_per_obj, 3))
+                geoms = [_blob(rng, pts_per_obj)
                          for _ in range(n_shared + n_extra)]
                 centers = rng.uniform(-3, 3, size=(n_shared + n_extra, 3)) + offset
+            if side == "ref" and ref_transform is not None:
+                # rotate local geometry + transform centers: the assembled
+                # points become R (g + c) + t exactly
+                r, t = ref_transform[:3, :3], ref_transform[:3, 3]
+                geoms = [g @ r.T for g in geoms]
+                centers = centers @ r.T + t
             scan_id = f"scene{p:02d}_{side}"
-            pkl, rec = _make_subscan(rng, scan_id, ids, centers, geoms,
-                                     pc_resolutions)
+            pkl, rec = _make_subscan(
+                rng, scan_id, ids, centers, geoms, pc_resolutions,
+                shared_bow=shared_bow if overlapping else None)
             ensure_dir(osp.join(scans_dir, scan_id))
             np.save(osp.join(scans_dir, scan_id, "data.npy"), rec)
             write_pkl_data(pkl, osp.join(files_dir, "data", f"{scan_id}.pkl"))
             pair_scans[side] = scan_id
             scan_ids.append(scan_id)
 
-        anchors.append({
+        entry = {
             "src": pair_scans["src"],
             "ref": pair_scans["ref"],
             "overlap": float(rng.uniform(0.2, 0.8)) if overlapping else 0.0,
             "anchorIds": [int(i) for i in shared_ids] if overlapping else [],
-        })
+        }
+        if ref_transform is not None:
+            entry["transform"] = np.asarray(ref_transform).tolist()
+        anchors.append(entry)
         scan_subscan_map[f"scene{p:02d}"] = [pair_scans["src"],
                                              pair_scans["ref"]]
 

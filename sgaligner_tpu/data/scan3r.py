@@ -193,5 +193,14 @@ class Scan3RDataset:
         a = self.anchor_data[idx]
         return a["src"], a["ref"]
 
+    def pair_gt_transform(self, idx: int) -> np.ndarray:
+        """Ground-truth src->ref rigid transform for this pair. Identity in
+        the reference's evaluation setting (all subscans share one world
+        frame, inference_align_reg.py:168); non-identity when the anchors
+        entry carries a ``"transform"`` (e.g. rescan pairs, cf. the
+        rescan->refscan map from 3RScan.json)."""
+        t = self.anchor_data[idx].get("transform")
+        return np.eye(4) if t is None else np.asarray(t, np.float64)
+
     def scene_points(self, scan_id: str) -> np.ndarray:
         return self._load_scene_points(scan_id)

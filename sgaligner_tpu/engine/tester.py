@@ -202,6 +202,14 @@ class AlignRegTester(BaseTester):
         if raw_points is None:
             raw_points = np.concatenate([src_points, ref_points]) - pcl_center
 
+        # gt transform: identity in the reference's setting; a stored per-pair
+        # transform (rescan-style) is conjugated by the centering translation
+        # (both clouds get -pcl_center): t' = R c + t - c
+        gt = self.dataset.pair_gt_transform(dataset_idx)
+        identity_gt = np.allclose(gt, np.eye(4))
+        gt_c = gt.copy()
+        gt_c[:3, 3] = gt[:3, :3] @ pcl_center + gt[:3, 3] - pcl_center
+
         reg = {
             "node_corrs": node_corrs,
             "src_points": src_points - pcl_center,
@@ -209,10 +217,18 @@ class AlignRegTester(BaseTester):
             "src_plydata": src_ply,
             "ref_plydata": ref_ply,
             "raw_points": raw_points,
-            "gt_transform": np.eye(4),
+            "gt_transform": gt_c,
         }
-        _, gt_src_idx = compute_pcl_overlap(reg["src_points"], reg["ref_points"])
-        _, gt_ref_idx = compute_pcl_overlap(reg["ref_points"], reg["src_points"])
+        # GT correspondences via exact-match overlap in the gt-ALIGNED frame
+        # (reference: same frame, point_cloud.py:91-103); the f32 transform
+        # round-trip needs a loose radius in the non-identity case
+        from sgaligner_tpu.utils.pointcloud import apply_transform
+
+        src_al = (reg["src_points"] if identity_gt
+                  else apply_transform(reg["src_points"], gt_c))
+        thresh = 1e-7 if identity_gt else 1e-4
+        _, gt_src_idx = compute_pcl_overlap(src_al, reg["ref_points"], thresh)
+        _, gt_ref_idx = compute_pcl_overlap(reg["ref_points"], src_al, thresh)
         reg["gt_src_corr_points"] = reg["src_points"][gt_src_idx]
         reg["gt_ref_corr_points"] = reg["ref_points"][gt_ref_idx]
 

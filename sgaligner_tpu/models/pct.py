@@ -100,11 +100,12 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        # normalize in the input dtype with f32 per-channel scalars folded to
-        # one multiply + one add (w = s/sqrt(var+eps); b = bias - mean*w)
-        w = (scale.astype(jnp.float32)
-             / jnp.sqrt(var.astype(jnp.float32) + self.epsilon))
-        b = bias.astype(jnp.float32) - mean.astype(jnp.float32) * w
+        # normalize in the input dtype with per-channel scalars folded to one
+        # multiply + one add (w = s/sqrt(var+eps); b = bias - mean*w),
+        # computed at >= f32 (f64 under x64 parity runs)
+        sdt = jnp.promote_types(x.dtype, jnp.float32)
+        w = scale.astype(sdt) / jnp.sqrt(var.astype(sdt) + self.epsilon)
+        b = bias.astype(sdt) - mean.astype(sdt) * w
         return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 

@@ -32,18 +32,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _acc_dtype(dtype):
+    """Accumulation dtype: f32 for bf16/f32 compute, f64 under x64 parity."""
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
 def _project(x, wqk, wv, bv):
     """x: [T, P, C] -> q [T, P, da], v [T, P, C] (f32). The projections run on
     the merged [T*P, C] view (sublane merge — free relayout on TPU); Mosaic
     only supports single-contraction matmuls, so keeping T*P as one dim also
     keeps every gradient matmul legal."""
-    f32 = jnp.float32
+    acc = _acc_dtype(x.dtype)
     t, p, c = x.shape
     x2 = x.reshape(t * p, c)
     q = jax.lax.dot_general(x2, wqk, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)
-    v = jax.lax.dot_general(x2, wv, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32) + bv.astype(f32)
+                            preferred_element_type=acc).astype(x.dtype)
+    v = (jax.lax.dot_general(x2, wv, (((1,), (0,)), ((), ())),
+                             preferred_element_type=acc)
+         + bv.astype(acc)).astype(x.dtype)
     return q.reshape(t, p, -1), v.reshape(t, p, c)
 
 
@@ -54,21 +60,25 @@ def _attn_core(q, v, scale: bool, double_norm: bool):
     row-softmax transposed, Aᵀ[j, i] = exp(E[j, i] − m_i)/Z_i, is just the
     COLUMN-softmax of E (column-broadcast normalizers — no [P, P] transpose
     materialization / relayout on TPU)."""
-    f32 = jnp.float32
+    acc = _acc_dtype(q.dtype)
     e = jax.lax.dot_general(q, q, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=f32)          # [T, P, P]
+                            preferred_element_type=acc)          # [T, P, P]
     if scale:
-        e = e / jnp.sqrt(jnp.float32(q.shape[-1]))
-    # gt = Aᵀ: column-stable column-softmax (valid because e is symmetric)
+        e = e / jnp.sqrt(acc(q.shape[-1]))
+    # gt = Aᵀ: column-stable column-softmax (valid because e is symmetric).
+    # exp/normalize run in the compute dtype (bf16 in production — matching
+    # the unfused path's bf16 softmax) with f32 reductions: exp dominates the
+    # kernel's VPU time and is 2x cheaper in bf16.
     m = jax.lax.stop_gradient(e.max(axis=1, keepdims=True))      # [T, 1, P]
-    g = jnp.exp(e - m)
-    gt = g / g.sum(axis=1, keepdims=True)                        # [T, P, P]
+    g = jnp.exp((e - m).astype(v.dtype))
+    z = jnp.sum(g, axis=1, keepdims=True, dtype=acc)             # [T, 1, P]
+    gt = g * (1.0 / z).astype(v.dtype)                           # [T, P, P]
     if double_norm:  # OA's "here" re-normalization (pct.py:265):
         # attention/(1e-9 + Σ_rows) on A ≡ dividing Aᵀ's ROWS by the same sums
-        gt = gt / (1e-9 + gt.sum(axis=2, keepdims=True))
-    return jax.lax.dot_general(gt.astype(v.dtype), v,
-                               (((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=f32)       # [T, P, C]
+        s = 1e-9 + jnp.sum(gt, axis=2, keepdims=True, dtype=acc)
+        gt = gt * (1.0 / s).astype(v.dtype)
+    return jax.lax.dot_general(gt, v, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=acc)       # [T, P, C]
 
 
 def _attn_math(x, wqk, wv, bv, scale: bool, double_norm: bool, out_dtype):
@@ -117,18 +127,25 @@ def _bwd_kernel(x_ref, wqk_ref, wv_ref, bv_ref, dy_ref,
 
 
 def _vmem_per_object(p: int, c: int, da: int, itemsize: int, bwd: bool) -> int:
-    """Rough live-set estimate in bytes (f32 intermediates dominate)."""
-    fwd = (2 * p * c * itemsize      # x in, y out
-           + 2 * p * p * 4           # e, a
-           + p * c * 4 + p * da * 4)  # v, q
+    """Rough live-set estimate in bytes (the f32 energy matrix dominates;
+    exp/normalize products are compute-dtype)."""
+    fwd = (2 * p * c * itemsize           # x in, y out
+           + p * p * 4 + p * p * itemsize  # e (f32), gt
+           + p * (c + da) * itemsize)      # v, q
     if not bwd:
         return fwd
-    # recompute + cotangents: da/de reuse the e/a budget, plus dx/dv/dq
-    return fwd + 2 * p * p * 4 + 2 * p * c * 4 + p * da * 4
+    # recompute + cotangents: dgt (f32), a second gt-sized buffer, dx/dv/dq
+    return (fwd + p * p * 4 + p * p * itemsize
+            + p * (2 * c + da) * itemsize)
 
 
 def _pick_tile(o: int, p: int, c: int, da: int, itemsize: int,
                bwd: bool) -> int | None:
+    import os
+    override = os.environ.get("SGA_ATTN_TBWD" if bwd else "SGA_ATTN_TFWD")
+    if override:  # perf-tuning escape hatch (tile sweeps)
+        t = int(override)
+        return t if o % t == 0 else None
     budget = 9 * 2**20 if bwd else 10 * 2**20
     per = _vmem_per_object(p, c, da, itemsize, bwd)
     for t in (16, 8, 4, 2, 1):

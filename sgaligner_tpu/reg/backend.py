@@ -44,7 +44,8 @@ class MutualNNBackend:
     def __init__(self, voxel_size: float = 0.025, score_sigma: float = 0.05,
                  max_points: int = 10000, ransac_threshold: float = 0.03,
                  ransac_iters: int = 1000, seed: int = 0,
-                 refine_icp: bool = False, icp_iters: int = 10):
+                 refine_icp: bool = False, icp_iters: int = 10,
+                 coarse: str = "none"):
         self.voxel_size = voxel_size
         self.score_sigma = score_sigma
         self.max_points = max_points
@@ -53,6 +54,10 @@ class MutualNNBackend:
         self.seed = seed
         self.refine_icp = refine_icp
         self.icp_iters = icp_iters
+        # "pca": principal-axes coarse alignment BEFORE NN matching — needed
+        # when src/ref are not co-registered (non-identity gt); "none" keeps
+        # the reference's same-world-frame evaluation semantics.
+        self.coarse = coarse
 
     def register(self, src_points: np.ndarray, ref_points: np.ndarray,
                  gt_transform: np.ndarray | None = None) -> dict | None:
@@ -70,8 +75,19 @@ class MutualNNBackend:
         if len(src_d) < 3 or len(ref_d) < 3:
             return None
 
-        d_sr, i_sr = get_nearest_neighbor(src_d, ref_d, return_index=True)
-        _, i_rs = get_nearest_neighbor(ref_d, src_d, return_index=True)
+        # correspondences are discovered in a (coarsely) aligned frame but
+        # RETURNED in the original frames — the rigid fit below re-estimates
+        # the FULL transform from them
+        src_m = src_d
+        if self.coarse == "pca":
+            from sgaligner_tpu.reg.coarse import pca_coarse_align
+            from sgaligner_tpu.utils.pointcloud import apply_transform
+
+            t0 = pca_coarse_align(src_d, ref_d, seed=self.seed)
+            src_m = apply_transform(src_d, t0)
+
+        d_sr, i_sr = get_nearest_neighbor(src_m, ref_d, return_index=True)
+        _, i_rs = get_nearest_neighbor(ref_d, src_m, return_index=True)
         mutual = i_rs[i_sr] == np.arange(len(src_d))
         if mutual.sum() < 3:
             return None
@@ -172,4 +188,5 @@ def build_backend(cfg, reg_snapshot: str | None = None) -> RegistrationBackend:
         return GeoTransformerBackend(reg_snapshot,
                                      neighbor_limits=cfg.reg_model.neighbor_limits)
     return MutualNNBackend(ransac_threshold=cfg.reg_model.ransac_threshold,
-                           ransac_iters=cfg.reg_model.ransac_max_iters)
+                           ransac_iters=cfg.reg_model.ransac_max_iters,
+                           coarse=getattr(cfg.reg_model, "coarse", "none"))

@@ -69,8 +69,15 @@ class MaskedBatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
-        """x: [..., C]; mask broadcastable to x[..., 0] (True = valid)."""
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool,
+                 moments: tuple | None = None, return_fold: bool = False):
+        """x: [..., C]; mask broadcastable to x[..., 0] (True = valid).
+
+        ``moments=(mean, var, count)`` (f32, per-channel) skips the stats
+        pass over x — used by the fused-tail path, where the kernel already
+        reduced the masked sums. ``return_fold=True`` returns the folded
+        per-channel affine ``(w, b)`` instead of applying it (x is then only
+        consulted for its dtype)."""
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(self.features, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -78,12 +85,21 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,), self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
 
-        if train:
+        if moments is not None and train:
+            mean, var, count = moments
+            if not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * unbiased)
+        elif train:
             # One-pass moments with f32 ACCUMULATION over the (possibly bf16)
             # input — jnp.sum(dtype=f32) reduces without materializing an f32
             # upcast of the [O*P, C] activation (the PCT tail's activations
             # are 0.5 GB at B=8; a second (x-mean)² pass would re-read them).
-            f32 = jnp.float32
+            # (f64 under x64 parity runs, matching ops/pct_tail.py's sums.)
+            f32 = jnp.promote_types(x.dtype, jnp.float32)
             m = mask.astype(x.dtype)[..., None]
             count = jnp.maximum(mask.astype(f32).sum()
                                 * (x.size // (mask.size * self.features)), 1.0)
@@ -106,6 +122,8 @@ class MaskedBatchNorm(nn.Module):
         sdt = jnp.promote_types(x.dtype, jnp.float32)
         w = scale.astype(sdt) / jnp.sqrt(var.astype(sdt) + self.epsilon)
         b = bias.astype(sdt) - mean.astype(sdt) * w
+        if return_fold:
+            return w, b
         return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 
@@ -193,12 +211,36 @@ class NaivePCT(nn.Module):
             x = SABlock(128, dtype=self.dtype, fused=self.fused,
                         name=f"sa{i + 1}")(x, mask, train)
             feats.append(x)
-        x = jnp.concatenate(feats, axis=-1)          # [O, P, 512]
 
-        x = nn.Dense(1024, use_bias=False, dtype=self.dtype, name="linear")(x)
-        x = MaskedBatchNorm(1024, name="linear_bn")(x, pm, train)
-        x = nn.leaky_relu(x, 0.2)
-        x = jnp.max(x, axis=1)                       # [O, 1024]
+        if _use_fused(self.fused):
+            # Fused tail: concat + 1024-linear + BN stats + min/max pool in
+            # one Pallas kernel; the [O, P, 1024] activation never exists
+            # (see ops/pct_tail.py for the monotone-pool identity).
+            from sgaligner_tpu.ops.pct_tail import pct_tail_fused
+
+            w, _ = _DenseParams(4 * 128, 1024, use_bias=False, name="linear")()
+            interpret = jax.default_backend() == "cpu"
+            kmask = mask.astype(self.dtype)[:, None]
+            p_pts = feats[0].shape[1]
+            pmax, pmin, ssum, ssumsq = pct_tail_fused(
+                feats[0].astype(self.dtype), feats[1].astype(self.dtype),
+                feats[2].astype(self.dtype), feats[3].astype(self.dtype),
+                w.astype(self.dtype), kmask, interpret)
+            count = jnp.maximum(mask.astype(jnp.float32).sum() * p_pts, 1.0)
+            mean = ssum[0] / count
+            var = jnp.maximum(ssumsq[0] / count - jnp.square(mean), 0.0)
+            wbn, bbn = MaskedBatchNorm(1024, name="linear_bn")(
+                pmax, pm, train, moments=(mean, var, count), return_fold=True)
+            pooled = jnp.where(wbn > 0, pmax.astype(wbn.dtype),
+                               pmin.astype(wbn.dtype)) * wbn + bbn
+            x = nn.leaky_relu(pooled, 0.2).astype(self.dtype)  # [O, 1024]
+        else:
+            x = jnp.concatenate(feats, axis=-1)          # [O, P, 512]
+            x = nn.Dense(1024, use_bias=False, dtype=self.dtype,
+                         name="linear")(x)
+            x = MaskedBatchNorm(1024, name="linear_bn")(x, pm, train)
+            x = nn.leaky_relu(x, 0.2)
+            x = jnp.max(x, axis=1)                       # [O, 1024]
 
         x = nn.Dense(512, use_bias=False, dtype=self.dtype, name="linear1")(x)
         x = MaskedBatchNorm(512, name="bn1")(x, mask, train)

@@ -100,8 +100,8 @@ def _bwd_kernel(x_ref, wqk_ref, wv_ref, bv_ref, dy_ref,
         for ref in (dwqk_ref, dwv_ref, dbv_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    f32 = jnp.float32
     x = x_ref[:]
+    f32 = _acc_dtype(x.dtype)
     t, p, c = x.shape
     q, v = _project(x, wqk_ref[:], wv_ref[:], bv_ref[:])
     # autodiff only over the attention core: its transposes are batched
@@ -199,7 +199,7 @@ def _bwd_rule(scale, double_norm, interpret, residuals, dy):
     x, wqk, wv, bv = residuals
     o, p, c = x.shape
     da = wqk.shape[1]
-    f32 = jnp.float32
+    f32 = _acc_dtype(x.dtype)
     t = _pick_tile(o, p, c, da, x.dtype.itemsize, bwd=True)
     if t is None:
         def ref_fn(x, wqk, wv, bv):

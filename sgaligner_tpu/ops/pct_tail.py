@@ -1,0 +1,262 @@
+"""Fused Pallas PCT tail: concat(4 feats) -> 1024-linear -> BN stats -> pool.
+
+The NaivePCT tail (reference /root/reference/src/aligner/networks/pct.py:275-317:
+``concat -> conv1024 -> BatchNorm -> LeakyReLU(0.2) -> max over points``) is
+HBM-bound in XLA: the concat ([O, P, 512]) and the [O, P, 1024] pre-/post-BN
+activations are materialized in HBM (~1.5 GB of traffic per step at B=32),
+then re-read by the BN stats pass, the normalize pass, and the max-pool.
+
+This kernel never materializes any of them. Per VMEM tile it computes
+``z = Σ_i x_i @ w_i`` (the concat-matmul as 4 full-K matmuls), and emits only
+
+* ``pmax, pmin``: per-object per-channel max/min of z over points, and
+* ``ssum, ssumsq``: masked BN partial sums (f32, accumulated across the grid).
+
+The caller reconstructs the exact reference semantics with the monotonicity
+identity: BN-normalize is an affine map per channel and LeakyReLU is
+increasing, so
+
+    max_p leaky(w·z_p + b) = leaky(w·max_p z + b)   if w > 0
+                           = leaky(w·min_p z + b)   if w < 0
+
+(exact, not approximate — even under bf16 rounding, since rounded
+multiplication by a fixed w preserves monotonicity). The [O, P, 1024]
+activation therefore never exists anywhere; HBM sees the four [O, P, C]
+inputs and tiny [O, 1024] outputs.
+
+The custom VJP recomputes z per tile and routes the pool gradients to the
+saved argmax/argmin rows (first-index, like torch.max); the BN batch-statistic
+gradient path flows through the ``ssum``/``ssumsq`` cotangents
+(dz += mask · (dssum + 2 z dssumsq)), which is exactly BN's full backward once
+the caller's moment arithmetic is under autodiff.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+
+def _acc_dtype(dtype):
+    """f32 accumulation/outputs; f64 under x64 parity runs."""
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
+def _z_tile(xs, w_ref, t: int, p: int, c: int):
+    """z = concat(xs) @ w as 4 single-contraction matmuls; [T*P, K] in the
+    compute dtype (f32 MXU accumulation), matching the unfused Dense."""
+    k = w_ref.shape[1]
+    acc = _acc_dtype(xs[0].dtype)
+    z = jnp.zeros((t * p, k), acc)
+    for i, x in enumerate(xs):
+        z += jax.lax.dot_general(x.reshape(t * p, c), w_ref[i * c:(i + 1) * c],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=acc)
+    return z.astype(xs[0].dtype)
+
+
+def _fwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
+                pmax_ref, pmin_ref, ssum_ref, ssumsq_ref, *refs,
+                t: int, p: int, with_arg: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ssum_ref[:] = jnp.zeros_like(ssum_ref)
+        ssumsq_ref[:] = jnp.zeros_like(ssumsq_ref)
+
+    c = x1_ref.shape[-1]
+    acc = ssum_ref.dtype
+    z = _z_tile([x1_ref[:], x2_ref[:], x3_ref[:], x4_ref[:]], w_ref, t, p, c)
+    # Mosaic arg-reductions only support f32; the cast is exact from bf16
+    z3 = z.reshape(t, p, -1).astype(acc)
+    pmax_ref[:] = jnp.max(z3, axis=1).astype(pmax_ref.dtype)
+    pmin_ref[:] = jnp.min(z3, axis=1).astype(pmin_ref.dtype)
+    if with_arg:
+        refs[0][:] = jnp.argmax(z3, axis=1).astype(jnp.int32)
+        refs[1][:] = jnp.argmin(z3, axis=1).astype(jnp.int32)
+
+    # Reduce over points FIRST, then mask-weight per object: a [T,1,1] mask
+    # broadcast over [T,P,K] needs sublane+lane broadcast at once, which
+    # Mosaic doesn't support; [T,1]x[T,K] is a lane-only broadcast.
+    m2 = m_ref[:].astype(acc)                         # [T, 1]
+    zsum = jnp.sum(z3, axis=1, dtype=acc)             # [T, K]
+    zsq = jnp.sum(jnp.square(z3), axis=1, dtype=acc)  # [T, K]
+    ssum_ref[:] += jnp.sum(zsum * m2, axis=0)[None]
+    ssumsq_ref[:] += jnp.sum(zsq * m2, axis=0)[None]
+
+
+def _bwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
+                dpmax_ref, dpmin_ref, amax_ref, amin_ref, dsum_ref, dsumsq_ref,
+                dx1_ref, dx2_ref, dx3_ref, dx4_ref, dw_ref,
+                *, t: int, p: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    c = x1_ref.shape[-1]
+    xs = [x1_ref[:], x2_ref[:], x3_ref[:], x4_ref[:]]
+    dt = xs[0].dtype
+    z = _z_tile(xs, w_ref, t, p, c)                     # recompute, [T*P, K]
+    k = z.shape[-1]
+    z3 = z.reshape(t, p, k)
+
+    # pool routing: first-index argmax/argmin rows (torch.max semantics)
+    acc = _acc_dtype(dt)
+    pt = jax.lax.broadcasted_iota(jnp.int32, (t, p, k), 1)
+    g = jnp.where(pt == amax_ref[:][:, None, :],
+                  dpmax_ref[:].astype(acc)[:, None, :], 0.0)
+    g += jnp.where(pt == amin_ref[:][:, None, :],
+                   dpmin_ref[:].astype(acc)[:, None, :], 0.0)
+    # BN batch-stat path: dz = mask · (dssum + 2 z dssumsq). Fold the mask
+    # into per-object [T, K] coefficients first (lane-only broadcasts);
+    # [T, 1, K] -> [T, P, K] is then a sublane-only broadcast.
+    m2 = m_ref[:].astype(acc)                                  # [T, 1]
+    a1 = m2 * dsum_ref[:].astype(acc)                          # [T, K]
+    a2 = m2 * dsumsq_ref[:].astype(acc)                        # [T, K]
+    g += a1[:, None, :] + 2.0 * z3.astype(acc) * a2[:, None, :]
+    g2 = g.reshape(t * p, k).astype(dt)
+
+    for j, (x, dx_ref) in enumerate(zip(xs, (dx1_ref, dx2_ref,
+                                             dx3_ref, dx4_ref))):
+        wj = w_ref[j * c:(j + 1) * c]
+        dx_ref[:] = jax.lax.dot_general(
+            g2, wj, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc).reshape(t, p, c).astype(dx_ref.dtype)
+        dw_ref[j * c:(j + 1) * c] += jax.lax.dot_general(
+            x.reshape(t * p, c), g2, (((0,), (0,)), ((), ())),
+            preferred_element_type=acc)
+
+
+def _unfused(xs, w, mask):
+    """XLA fallback with identical outputs."""
+    acc = _acc_dtype(xs[0].dtype)
+    z = jnp.concatenate(xs, axis=-1) @ w                # [O, P, K]
+    m = mask[:, :, None].astype(z.dtype)
+    zm = z * m
+    return (jnp.max(z, axis=1).astype(acc), jnp.min(z, axis=1).astype(acc),
+            jnp.sum(zm, axis=(0, 1), dtype=acc)[None],
+            jnp.sum(jnp.square(zm), axis=(0, 1), dtype=acc)[None])
+
+
+def _pick_tile(o: int, p: int, k: int, itemsize: int, bwd: bool) -> int | None:
+    import os
+    override = os.environ.get("SGA_TAIL_TBWD" if bwd else "SGA_TAIL_TFWD")
+    if override:
+        tt = int(override)
+        return tt if o % tt == 0 else None
+    # live set ≈ 4 inputs + z (+ f32 g and dx's in bwd); [T, K] outputs need
+    # T % 8 == 0 (sublane) unless T == O
+    per = p * (4 * 128 * itemsize + k * itemsize)
+    if bwd:
+        per += p * k * (4 + itemsize) + 4 * p * 128 * itemsize
+    budget = (48 if bwd else 24) * 2**20
+    for t in (16, 8):
+        if o % t == 0 and t * per <= budget:
+            return t
+    if o <= 8:
+        return o
+    return None
+
+
+def _compiler_params(interpret):
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+
+def _forward(x1, x2, x3, x4, w, mask, interpret, with_arg):
+    o, p, c = x1.shape
+    k = w.shape[1]
+    acc = _acc_dtype(x1.dtype)
+    t = _pick_tile(o, p, k, x1.dtype.itemsize, bwd=False)
+    if t is None:
+        return _unfused([x1, x2, x3, x4], w, mask), (None, None)
+    n_extra = 2 if with_arg else 0
+    outs = pl.pallas_call(
+        partial(_fwd_kernel, t=t, p=p, with_arg=with_arg),
+        grid=(o // t,),
+        in_specs=[pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM),
+           pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((t, k), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((1, k), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((t, k), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)] * n_extra,
+        out_shape=[jax.ShapeDtypeStruct((o, k), acc)] * 2
+        + [jax.ShapeDtypeStruct((1, k), acc)] * 2
+        + [jax.ShapeDtypeStruct((o, k), jnp.int32)] * n_extra,
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(x1, x2, x3, x4, w, mask)
+    return tuple(outs[:4]), (outs[4], outs[5]) if with_arg else (None, None)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def pct_tail_fused(x1, x2, x3, x4, w, mask, interpret=False):
+    """x_i: [O, P, C] SA-block outputs; w: [4C, K] (no bias); mask: [O, 1]
+    (1.0 = valid object, dtype of x). Returns
+    ``(pmax [O,K] f32, pmin [O,K] f32, ssum [1,K] f32, ssumsq [1,K] f32)``
+    where ssum/ssumsq sum masked rows of z = concat(x) @ w over all O·P rows.
+    """
+    return _forward(x1, x2, x3, x4, w, mask, interpret, with_arg=False)[0]
+
+
+def _fwd_rule(x1, x2, x3, x4, w, mask, interpret):
+    outs, (amax, amin) = _forward(x1, x2, x3, x4, w, mask, interpret,
+                                  with_arg=True)
+    return outs, (x1, x2, x3, x4, w, mask, amax, amin)
+
+
+def _bwd_rule(interpret, residuals, cts):
+    x1, x2, x3, x4, w, mask, amax, amin = residuals
+    dpmax, dpmin, dsum, dsumsq = cts
+    o, p, c = x1.shape
+    k = w.shape[1]
+    t = _pick_tile(o, p, k, x1.dtype.itemsize, bwd=True)
+    if t is None or amax is None:
+        acc = _acc_dtype(x1.dtype)
+
+        def ref_fn(x1, x2, x3, x4, w):
+            outs = _unfused([x1, x2, x3, x4], w, mask)
+            return sum((a.astype(acc) * b.astype(acc)).sum()
+                       for a, b in zip(outs, cts))
+        grads = jax.grad(ref_fn, argnums=(0, 1, 2, 3, 4))(x1, x2, x3, x4, w)
+        return (*grads, jnp.zeros_like(mask))
+
+    grads = pl.pallas_call(
+        partial(_bwd_kernel, t=t, p=p),
+        grid=(o // t,),
+        in_specs=[pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM),
+           pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((t, k), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((1, k), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((4 * c, k), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((o, p, c), x1.dtype)] * 4
+        + [jax.ShapeDtypeStruct((4 * c, k), _acc_dtype(x1.dtype))],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(x1, x2, x3, x4, w, mask, dpmax, dpmin, amax, amin, dsum, dsumsq)
+    dx1, dx2, dx3, dx4, dw = grads
+    return (dx1, dx2, dx3, dx4, dw.astype(w.dtype), jnp.zeros_like(mask))
+
+
+pct_tail_fused.defvjp(_fwd_rule, _bwd_rule)

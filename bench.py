@@ -11,8 +11,10 @@ comparable — round-1 review weak #7):
 * 512 points/object (reference pc_res), 32 object slots per graph,
 * synthetic occupancy: objects per side ~ U[6, 20], seed 0 (mean ~13 real of
   32 slots — matches the real-data occupancy recorded in PERF.md),
-* host-style compaction bound 40 slots/pair (covers the worst pair),
-* bf16 compute, f32 params; B=8 pairs/step,
+* batch-POOLED object compaction, bucket 128 (data/batch.py::pool_compact —
+  the encoder sees ~896 real-object slots instead of 1280 padded ones at this
+  occupancy); compact_slots=40 echoed as the per-pair fallback bound,
+* bf16 compute, f32 params; B=32 pairs/step,
 * 3 timed windows of 20 steps; value = median window, variance = spread.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
@@ -39,6 +41,7 @@ BATCH_SIZE = 32
 MAX_OBJECTS = 32
 POINTS_PER_OBJECT = 512
 COMPACT_SLOTS = 40
+POOLED_BUCKET = 128   # batch-pooled object compaction (data/batch.py)
 WARMUP_STEPS = 5
 WINDOW_STEPS = 20
 N_WINDOWS = 3
@@ -58,10 +61,14 @@ def bench_config(modules: list[str]) -> dict:
     cfg.tpu.compute_dtype = "bfloat16"
     cfg.tpu.compact_slots = COMPACT_SLOTS
 
+    from sgaligner_tpu.data.batch import pool_compact
+
     spec = BatchSpec(batch_size=BATCH_SIZE, max_objects=MAX_OBJECTS,
                      points_per_object=POINTS_PER_OBJECT)
-    batch = {k: jax.device_put(np.asarray(v))
-             for k, v in make_synthetic_batch(spec, seed=0).items()}
+    host = {k: np.asarray(v) for k, v in make_synthetic_batch(spec, seed=0).items()}
+    if POOLED_BUCKET:
+        host = pool_compact(host, bucket=POOLED_BUCKET)
+    batch = {k: jax.device_put(v) for k, v in host.items()}
 
     model = build_model(cfg)
     tx = build_optimizer(cfg)
@@ -105,6 +112,7 @@ def main() -> None:
         "config": {"batch_size": BATCH_SIZE, "max_objects": MAX_OBJECTS,
                    "points_per_object": POINTS_PER_OBJECT,
                    "compact_slots": COMPACT_SLOTS,
+                   "pooled_bucket": POOLED_BUCKET,
                    "occupancy": "U[6,20] objects/side, seed 0",
                    "dtype": "bfloat16",
                    "windows": f"{N_WINDOWS}x{WINDOW_STEPS} steps"},

@@ -158,6 +158,11 @@ class TpuConfig:
     # pair (out of 2*max_objects) through the point encoder. 0 = off. Must be
     # >= the max real objects of any pair (validated at shard time).
     compact_slots: int = 0
+    # Batch-POOLED compaction (data/batch.py::pool_compact): pack all real
+    # objects of the batch into one flat axis, bucketed to this multiple
+    # (0 = off). Tighter than compact_slots at typical occupancy; single-chip
+    # only (incompatible with pair-axis dp sharding).
+    pooled_bucket: int = 0
     # Pad the pair-batch dim to a multiple of dp.
     donate_batch: bool = True
 

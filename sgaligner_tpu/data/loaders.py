@@ -16,19 +16,21 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from sgaligner_tpu.core.config import Config
-from sgaligner_tpu.data.batch import collate
+from sgaligner_tpu.data.batch import collate, pool_compact
 from sgaligner_tpu.data.scan3r import Scan3RDataset
 
 
 class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool,
-                 drop_last: bool, seed: int = 42, num_workers: int = 4):
+                 drop_last: bool, seed: int = 42, num_workers: int = 4,
+                 transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.num_workers = max(1, num_workers)
+        self.transform = transform  # post-collate host transform (pooling)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -63,19 +65,30 @@ class BatchLoader:
                 yield self._load_chunk(c)
 
     def _load_chunk(self, idxs) -> dict[str, np.ndarray]:
-        return collate([self.dataset[int(i)] for i in idxs])
+        batch = collate([self.dataset[int(i)] for i in idxs])
+        return self.transform(batch) if self.transform else batch
+
+
+def _pool_transform(cfg: Config):
+    # batch-pooled compaction when cfg.tpu.pooled_bucket > 0 (single-chip
+    # only: pooling breaks pair-axis dp sharding)
+    bucket = getattr(cfg.tpu, "pooled_bucket", 0)
+    if bucket <= 0 or cfg.tpu.dp not in (0, 1):
+        return None
+    return lambda b: pool_compact(b, bucket)
 
 
 def get_train_val_data_loader(cfg: Config, dataset_cls=Scan3RDataset):
     """Reference loaders.py:4-12."""
     train_ds = dataset_cls(cfg, split="train")
     val_ds = dataset_cls(cfg, split="val")
+    tf = _pool_transform(cfg)
     train = BatchLoader(train_ds, cfg.train.batch_size, shuffle=True,
                         drop_last=True, seed=cfg.seed,
-                        num_workers=cfg.num_workers)
+                        num_workers=cfg.num_workers, transform=tf)
     val = BatchLoader(val_ds, cfg.val.batch_size, shuffle=False,
                       drop_last=False, seed=cfg.seed,
-                      num_workers=cfg.num_workers)
+                      num_workers=cfg.num_workers, transform=tf)
     return train, val
 
 
@@ -84,4 +97,5 @@ def get_val_dataloader(cfg: Config, dataset_cls=Scan3RDataset):
     val_ds = dataset_cls(cfg, split="val")
     return BatchLoader(val_ds, cfg.val.batch_size, shuffle=False,
                        drop_last=False, seed=cfg.seed,
-                       num_workers=cfg.num_workers)
+                       num_workers=cfg.num_workers,
+                       transform=_pool_transform(cfg))

@@ -45,19 +45,34 @@ def _use_fused(flag: str) -> bool:
             or (flag == "auto" and jax.default_backend() != "cpu"))
 
 
-def _fused_attention(x, channels: int, dtype,
-                     scale: bool, double_norm: bool) -> jnp.ndarray:
-    """Shared q/k + v projections + attention via the fused Pallas op.
-    Must be called from inside a module's compact scope."""
-    from sgaligner_tpu.ops.pct_attention import pct_attention_fused
+def _fused_block(x, mask, train, channels: int, dtype,
+                 scale: bool, double_norm: bool) -> jnp.ndarray:
+    """The whole SA/OA block via the block-fused Pallas op: attention +
+    trans projection + masked BN partial sums in one kernel; BN-fold +
+    residual + relu is the single remaining XLA pass. Must be called from
+    inside the module's compact scope (creates its params)."""
+    from sgaligner_tpu.ops.pct_attention import pct_block_fused
 
     da = channels // 4
     wqk, _ = _DenseParams(channels, da, use_bias=False, name="qk")()
     wv, bv = _DenseParams(channels, channels, name="v")()
+    wt, bt = _DenseParams(channels, channels, name="trans")()
     interpret = jax.default_backend() == "cpu"  # fused="always" in CPU tests
-    return pct_attention_fused(x.astype(dtype), wqk.astype(dtype),
-                               wv.astype(dtype), bv.astype(dtype),
-                               scale, double_norm, interpret)
+
+    p_pts = x.shape[1]
+    kmask = mask.astype(dtype)[:, None]
+    t_out, ssum, ssumsq = pct_block_fused(
+        x.astype(dtype), wqk.astype(dtype), wv.astype(dtype),
+        bv.astype(dtype), wt.astype(dtype), bt.astype(dtype), kmask,
+        scale, double_norm, interpret)
+    count = jnp.maximum(mask.astype(jnp.float32).sum() * p_pts, 1.0)
+    mean = ssum[0] / count
+    var = jnp.maximum(ssumsq[0] / count - jnp.square(mean), 0.0)
+    wbn, bbn = MaskedBatchNorm(channels, name="after_norm")(
+        t_out, mask[:, None], train, moments=(mean, var, count),
+        return_fold=True)
+    normed = t_out * wbn.astype(t_out.dtype) + bbn.astype(t_out.dtype)
+    return x + nn.relu(normed)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -139,18 +154,17 @@ class OABlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         if _use_fused(self.fused):
-            x_r = _fused_attention(x, self.channels, self.dtype,
-                                   scale=False, double_norm=True)
-        else:
-            da = self.channels // 4
-            qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
-            x_q, x_k = qk(x), qk(x)
-            x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
+            return _fused_block(x, mask, train, self.channels, self.dtype,
+                                scale=False, double_norm=True)
+        da = self.channels // 4
+        qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
+        x_q, x_k = qk(x), qk(x)
+        x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
 
-            energy = jnp.einsum("opd,oqd->opq", x_q, x_k)  # no sqrt(da) scaling
-            attention = nn.softmax(energy, axis=-1)
-            attention = attention / (1e-9 + attention.sum(axis=1, keepdims=True))
-            x_r = jnp.einsum("opc,opq->oqc", x_v, attention)
+        energy = jnp.einsum("opd,oqd->opq", x_q, x_k)  # no sqrt(da) scaling
+        attention = nn.softmax(energy, axis=-1)
+        attention = attention / (1e-9 + attention.sum(axis=1, keepdims=True))
+        x_r = jnp.einsum("opc,opq->oqc", x_v, attention)
         x_r = nn.Dense(self.channels, dtype=self.dtype, name="trans")(x - x_r)
         x_r = MaskedBatchNorm(self.channels, name="after_norm")(
             x_r, mask[:, None], train)
@@ -168,21 +182,20 @@ class SABlock(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         """x: [O, P, C] (points = sequence axis). mask: [O] valid objects."""
         if _use_fused(self.fused):
-            x_s = _fused_attention(x, self.channels, self.dtype,
-                                   scale=True, double_norm=False)
-        else:
-            da = self.channels // 4
-            # q and k share ONE weight matrix (pct.py:199: q_conv.weight = k_conv.weight)
-            qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
-            x_q = qk(x)                                  # [O, P, da]
-            x_k = qk(x)                                  # same projection
-            x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
+            return _fused_block(x, mask, train, self.channels, self.dtype,
+                                scale=True, double_norm=False)
+        da = self.channels // 4
+        # q and k share ONE weight matrix (pct.py:199: q_conv.weight = k_conv.weight)
+        qk = nn.Dense(da, use_bias=False, dtype=self.dtype, name="qk")
+        x_q = qk(x)                                  # [O, P, da]
+        x_k = qk(x)                                  # same projection
+        x_v = nn.Dense(self.channels, dtype=self.dtype, name="v")(x)
 
-            energy = jnp.einsum("opd,oqd->opq", x_q, x_k) / jnp.sqrt(float(da))
-            attention = nn.softmax(energy, axis=-1)      # softmax over q axis (quirk)
-            # reference: x_s = bmm(x_v[B,C,N], attention[B,N,N]) -> out[:, :, j]
-            # sums over the first attention index; channel-last equivalent:
-            x_s = jnp.einsum("opc,opq->oqc", x_v, attention)
+        energy = jnp.einsum("opd,oqd->opq", x_q, x_k) / jnp.sqrt(float(da))
+        attention = nn.softmax(energy, axis=-1)      # softmax over q axis (quirk)
+        # reference: x_s = bmm(x_v[B,C,N], attention[B,N,N]) -> out[:, :, j]
+        # sums over the first attention index; channel-last equivalent:
+        x_s = jnp.einsum("opc,opq->oqc", x_v, attention)
         x_s = nn.Dense(self.channels, dtype=self.dtype, name="trans")(x_s)
         x_s = MaskedBatchNorm(self.channels, name="after_norm")(x_s, mask[:, None], train)
         return x + nn.relu(x_s)

@@ -96,7 +96,13 @@ class MultiModalEncoder(nn.Module):
         embs: dict[str, jnp.ndarray] = {}
         for module in self.modules:
             if module in ("point", "pct"):
-                if "obj_points_compact" in batch:
+                if "obj_points_pooled" in batch:
+                    # batch-pooled compaction (data/batch.py::pool_compact):
+                    # one flat real-object axis for the whole batch
+                    compact = "pooled"
+                    pts = batch["obj_points_pooled"]
+                    enc_mask = batch["pooled_mask"]
+                elif "obj_points_compact" in batch:
                     # host-compacted points: only real objects ship (batch.py)
                     compact = True
                     pts = batch["obj_points_compact"]
@@ -129,7 +135,11 @@ class MultiModalEncoder(nn.Module):
                         jnp.swapaxes(pts, 1, 2), enc_mask, train=train)
                 emb = nn.Dense(self.emb_dim, dtype=self.dtype,
                                name="object_embedding")(feat)
-                if compact:
+                if compact == "pooled":
+                    emb = emb * batch["pooled_mask"][:, None].astype(emb.dtype)
+                    emb = jnp.zeros((b * two_n, emb.shape[-1]), emb.dtype
+                                    ).at[batch["pooled_flat_idx"]].add(emb)
+                elif compact:
                     emb = compact_scatter(emb, idx, cmask, two_n)
             elif module == "gat":
                 # [B, 2N, 3] -> [2B, N, 3]: graph g = pair*2 + side

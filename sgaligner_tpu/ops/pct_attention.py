@@ -37,7 +37,17 @@ def _acc_dtype(dtype):
     return jnp.float64 if dtype == jnp.float64 else jnp.float32
 
 
-def _project(x, wqk, wv, bv):
+def _qk_scale(wqk, scale: bool):
+    """SA's 1/sqrt(da) energy scaling folded into the q/k weight: scaling W
+    by da^-0.25 scales E = (xW)(xW)ᵀ by 1/sqrt(da) exactly — a [C, da]
+    multiply instead of a [P, P] VPU pass per tile."""
+    if not scale:
+        return wqk
+    da = wqk.shape[-1]
+    return wqk * jnp.asarray(float(da) ** -0.25, wqk.dtype)
+
+
+def _project(x, wqk, wv, bv, scale: bool):
     """x: [T, P, C] -> q [T, P, da], v [T, P, C] (f32). The projections run on
     the merged [T*P, C] view (sublane merge — free relayout on TPU); Mosaic
     only supports single-contraction matmuls, so keeping T*P as one dim also
@@ -45,7 +55,7 @@ def _project(x, wqk, wv, bv):
     acc = _acc_dtype(x.dtype)
     t, p, c = x.shape
     x2 = x.reshape(t * p, c)
-    q = jax.lax.dot_general(x2, wqk, (((1,), (0,)), ((), ())),
+    q = jax.lax.dot_general(x2, _qk_scale(wqk, scale), (((1,), (0,)), ((), ())),
                             preferred_element_type=acc).astype(x.dtype)
     v = (jax.lax.dot_general(x2, wv, (((1,), (0,)), ((), ())),
                              preferred_element_type=acc)
@@ -59,16 +69,20 @@ def _attn_core(q, v, scale: bool, double_norm: bool):
     transposed apply ``y[j] = Σ_i A[i, j] v[i]`` become a PLAIN matmul: the
     row-softmax transposed, Aᵀ[j, i] = exp(E[j, i] − m_i)/Z_i, is just the
     COLUMN-softmax of E (column-broadcast normalizers — no [P, P] transpose
-    materialization / relayout on TPU)."""
+    materialization / relayout on TPU).
+
+    The 1/sqrt(da) energy scale is folded into q by the CALLER (q·da^-0.25
+    scales E by 1/sqrt(da) exactly) — one less [P, P] VPU pass here; ``scale``
+    only survives in the signature for the unfused fallback path."""
+    del scale  # folded into q upstream
     acc = _acc_dtype(q.dtype)
     e = jax.lax.dot_general(q, q, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=acc)          # [T, P, P]
-    if scale:
-        e = e / jnp.sqrt(acc(q.shape[-1]))
     # gt = Aᵀ: column-stable column-softmax (valid because e is symmetric).
     # exp/normalize run in the compute dtype (bf16 in production — matching
-    # the unfused path's bf16 softmax) with f32 reductions: exp dominates the
-    # kernel's VPU time and is 2x cheaper in bf16.
+    # the unfused path's bf16 softmax) with f32 reductions. (Casting e itself
+    # to bf16 first was measured SLOWER: the standalone cast is an extra
+    # [P, P] pass that Mosaic doesn't fold into the matmul output.)
     m = jax.lax.stop_gradient(e.max(axis=1, keepdims=True))      # [T, 1, P]
     g = jnp.exp((e - m).astype(v.dtype))
     z = jnp.sum(g, axis=1, keepdims=True, dtype=acc)             # [T, 1, P]
@@ -82,7 +96,7 @@ def _attn_core(q, v, scale: bool, double_norm: bool):
 
 
 def _attn_math(x, wqk, wv, bv, scale: bool, double_norm: bool, out_dtype):
-    q, v = _project(x, wqk, wv, bv)
+    q, v = _project(x, wqk, wv, bv, scale)
     return _attn_core(q, v, scale, double_norm).astype(out_dtype)
 
 
@@ -103,7 +117,7 @@ def _bwd_kernel(x_ref, wqk_ref, wv_ref, bv_ref, dy_ref,
     x = x_ref[:]
     f32 = _acc_dtype(x.dtype)
     t, p, c = x.shape
-    q, v = _project(x, wqk_ref[:], wv_ref[:], bv_ref[:])
+    q, v = _project(x, wqk_ref[:], wv_ref[:], bv_ref[:], scale)
     # autodiff only over the attention core: its transposes are batched
     # single-contraction matmuls Mosaic can lower (weight grads would be
     # double contractions — hand-written below on the merged [T*P, .] view)
@@ -114,12 +128,16 @@ def _bwd_kernel(x_ref, wqk_ref, wv_ref, bv_ref, dy_ref,
     dq2 = dq.reshape(t * p, -1)
     dv2 = dv.reshape(t * p, c)
     x2 = x.reshape(t * p, c)
-    dwqk_ref[:] += jax.lax.dot_general(x2, dq2, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=f32)
+    # q = x · (wqk · s): d wqk = s · xᵀ dq_s; dx gets the scaled weight
+    wqk_s = _qk_scale(wqk_ref[:], scale)
+    s = (jnp.asarray(float(wqk_s.shape[-1]) ** -0.25, f32)
+         if scale else jnp.asarray(1.0, f32))
+    dwqk_ref[:] += s * jax.lax.dot_general(x2, dq2, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=f32)
     dwv_ref[:] += jax.lax.dot_general(x2, dv2, (((0,), (0,)), ((), ())),
                                       preferred_element_type=f32)
     dbv_ref[:] += dv2.sum(axis=0, keepdims=True)
-    dx2 = (jax.lax.dot_general(dq2, wqk_ref[:], (((1,), (1,)), ((), ())),
+    dx2 = (jax.lax.dot_general(dq2, wqk_s, (((1,), (1,)), ((), ())),
                                preferred_element_type=f32)
            + jax.lax.dot_general(dv2, wv_ref[:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32))
@@ -146,9 +164,12 @@ def _pick_tile(o: int, p: int, c: int, da: int, itemsize: int,
     if override:  # perf-tuning escape hatch (tile sweeps)
         t = int(override)
         return t if o % t == 0 else None
-    budget = 9 * 2**20 if bwd else 10 * 2**20
+    # vmem_limit_bytes is raised via CompilerParams (the 16 MB default scoped
+    # limit is what capped round-1 tiles); measured sweet spots stay small —
+    # t=4 fwd / t=4 bwd at P=512 — because smaller tiles pipeline DMA better.
+    budget = 24 * 2**20 if bwd else 12 * 2**20
     per = _vmem_per_object(p, c, da, itemsize, bwd)
-    for t in (16, 8, 4, 2, 1):
+    for t in (8, 4, 2, 1):
         if o % t == 0 and t * per <= budget:
             return t
     return None
@@ -160,6 +181,14 @@ def _unfused(x, wqk, wv, bv, scale, double_norm):
 
 def _weight_specs():
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)]
+
+
+def _compiler_params(interpret):
+    # Measured: raising vmem_limit_bytes to 100 MB costs ~15% fwd time (the
+    # compiler trades double-buffering depth for the bigger scoped window);
+    # the chosen tiles fit the 16 MB default, so keep it.
+    del interpret
+    return None
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -186,6 +215,7 @@ def pct_attention_fused(x, wqk, wv, bv, scale=True, double_norm=False,
         out_specs=pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((o, p, c), x.dtype),
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(x, wqk, wv, bv[None])
 
@@ -231,6 +261,7 @@ def _bwd_rule(scale, double_norm, interpret, residuals, dy):
             jax.ShapeDtypeStruct((c, c), f32),
             jax.ShapeDtypeStruct((1, c), f32),
         ],
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(x, wqk, wv, bv[None], dy)
     return (dx, dwqk.astype(wqk.dtype), dwv.astype(wv.dtype),
@@ -238,3 +269,270 @@ def _bwd_rule(scale, double_norm, interpret, residuals, dy):
 
 
 pct_attention_fused.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Block-fused variant: attention + trans projection + masked BN partial sums
+# in ONE kernel. The SA/OA block's XLA glue (trans matmul read/write of the
+# full [O, P, C] activation + the BatchNorm stats pass) measured ~3 ms per
+# block at O=1280 — fusing it leaves a single XLA pass per block
+# (BN-apply + residual + relu from the folded affine).
+#
+# SA (pct.py:187-232):  t_out = trans(attn(x));   out = x + relu(BN(t_out))
+# OA (pct.py:236-273):  t_out = trans(x - attn(x)); out = x + relu(BN(t_out))
+# The kernel returns (t_out, ssum, ssumsq) where ssum/ssumsq are the masked
+# BN partial sums of t_out (mask: [O, 1], 1.0 = valid object); the caller
+# folds the moments (models/pct.py::MaskedBatchNorm(moments=...)) and applies
+# affine+residual+relu in one elementwise pass.
+# ---------------------------------------------------------------------------
+
+
+def _mask_rows(m_ref, start: int, t: int, acc):
+    """Build this tile's [T, 1] object-mask vector from SMEM scalars.
+
+    The mask cannot ride in VMEM blocks: a [T, 1] block violates the (8, 128)
+    block-shape rule for T < 8, and a dynamic sublane slice of a whole-array
+    ref needs 8-aligned offsets. SMEM scalar reads have no such constraints;
+    T <= 8 selects are negligible."""
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    m2 = jnp.zeros((t, 1), acc)
+    for j in range(t):
+        m2 = jnp.where(rowi == j, m_ref[start + j, 0].astype(acc), m2)
+    return m2
+
+
+def _block_math(x, wqk, wv, bv, wt, bt, scale, double_norm, oa):
+    """Full block forward (t_out in the compute dtype)."""
+    acc = _acc_dtype(x.dtype)
+    t, p, c = x.shape
+    y = _attn_math(x, wqk, wv, bv, scale, double_norm, x.dtype)
+    u = (x - y) if oa else y
+    t_out = (jax.lax.dot_general(u.reshape(t * p, c), wt,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=acc)
+             + bt.astype(acc)).astype(x.dtype)
+    return t_out.reshape(t, p, c)
+
+
+def _block_fwd_kernel(x_ref, wqk_ref, wv_ref, bv_ref, wt_ref, bt_ref, m_ref,
+                      y_ref, ssum_ref, ssumsq_ref, *, scale, double_norm, oa):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ssum_ref[:] = jnp.zeros_like(ssum_ref)
+        ssumsq_ref[:] = jnp.zeros_like(ssumsq_ref)
+
+    t_out = _block_math(x_ref[:], wqk_ref[:], wv_ref[:], bv_ref[:],
+                        wt_ref[:], bt_ref[:], scale, double_norm, oa)
+    y_ref[:] = t_out
+    acc = ssum_ref.dtype
+    t3 = t_out.astype(acc)
+    tt = t_out.shape[0]
+    m2 = _mask_rows(m_ref, i * tt, tt, acc)             # [T, 1]
+    ssum_ref[:] += jnp.sum(jnp.sum(t3, axis=1, dtype=acc) * m2, axis=0)[None]
+    ssumsq_ref[:] += jnp.sum(jnp.sum(jnp.square(t3), axis=1, dtype=acc) * m2,
+                             axis=0)[None]
+
+
+def _block_bwd_kernel(x_ref, wqk_ref, wv_ref, bv_ref, wt_ref, bt_ref, m_ref,
+                      dt_ref, dsum_ref, dsumsq_ref,
+                      dx_ref, dwqk_ref, dwv_ref, dbv_ref, dwt_ref, dbt_ref,
+                      *, scale, double_norm, oa):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for ref in (dwqk_ref, dwv_ref, dbv_ref, dwt_ref, dbt_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    x = x_ref[:]
+    f32 = _acc_dtype(x.dtype)
+    t, p, c = x.shape
+    x2 = x.reshape(t * p, c)
+
+    # recompute forward through the core (with vjp) and trans
+    q, v = _project(x, wqk_ref[:], wv_ref[:], bv_ref[:], scale)
+    core = partial(_attn_core, scale=scale, double_norm=double_norm)
+    y, vjp = jax.vjp(core, q, v)
+    y = y.astype(x.dtype)
+    u = (x - y) if oa else y
+    u2 = u.reshape(t * p, c)
+    t_out = (jax.lax.dot_general(u2, wt_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+             + bt_ref[:].astype(f32)).astype(x.dtype)
+
+    # dz = dt + mask·(dssum + 2 t_out dssumsq)   (BN batch-stat path)
+    m2 = _mask_rows(m_ref, i * t, t, f32)                       # [T, 1]
+    a1 = m2 * dsum_ref[:].astype(f32)                           # [T, C]
+    a2 = m2 * dsumsq_ref[:].astype(f32)                         # [T, C]
+    dz3 = (dt_ref[:].astype(f32) + a1[:, None, :]
+           + 2.0 * t_out.reshape(t, p, c).astype(f32) * a2[:, None, :])
+    dz = dz3.reshape(t * p, c).astype(x.dtype)
+
+    # through trans
+    dwt_ref[:] += jax.lax.dot_general(u2, dz, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+    dbt_ref[:] += dz.astype(f32).sum(axis=0, keepdims=True)
+    du = jax.lax.dot_general(dz, wt_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dy = (-du if oa else du).reshape(t, p, c)
+
+    # through the attention core + projections
+    dq, dv = vjp(dy.astype(f32))
+    dq2 = dq.reshape(t * p, -1)
+    dv2 = dv.reshape(t * p, c)
+    wqk_s = _qk_scale(wqk_ref[:], scale)
+    s = (jnp.asarray(float(wqk_s.shape[-1]) ** -0.25, f32)
+         if scale else jnp.asarray(1.0, f32))
+    dwqk_ref[:] += s * jax.lax.dot_general(x2, dq2, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=f32)
+    dwv_ref[:] += jax.lax.dot_general(x2, dv2, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+    dbv_ref[:] += dv2.sum(axis=0, keepdims=True)
+    dx2 = (jax.lax.dot_general(dq2, wqk_s, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+           + jax.lax.dot_general(dv2, wv_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32))
+    if oa:  # u = x - y: dx gets +du directly
+        dx2 = dx2 + du
+    dx_ref[:] = dx2.reshape(t, p, c).astype(dx_ref.dtype)
+
+
+def _block_unfused(x, wqk, wv, bv, wt, bt, mask, scale, double_norm, oa):
+    acc = _acc_dtype(x.dtype)
+    t_out = _block_math(x, wqk, wv, bv, wt, bt, scale, double_norm, oa)
+    tm = t_out * mask[:, :, None].astype(t_out.dtype)
+    return (t_out,
+            jnp.sum(tm, axis=(0, 1), dtype=acc)[None],
+            jnp.sum(jnp.square(tm), axis=(0, 1), dtype=acc)[None])
+
+
+def _block_vmem_per_object(p, c, da, itemsize, bwd):
+    per = _vmem_per_object(p, c, da, itemsize, bwd)
+    # + t_out (and dz/du in bwd)
+    return per + p * c * (itemsize * (3 if bwd else 1) + (4 if bwd else 0))
+
+
+def _block_pick_tile(o, p, c, da, itemsize, bwd):
+    import os
+    override = os.environ.get("SGA_BLK_TBWD" if bwd else "SGA_BLK_TFWD")
+    if override:
+        t = int(override)
+        return t if o % t == 0 else None
+    budget = 9 * 2**20 if bwd else 10 * 2**20
+    per = _block_vmem_per_object(p, c, da, itemsize, bwd)
+    for t in (8, 4, 2, 1):
+        if o % t == 0 and t * per <= budget:
+            return t
+    return None
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def pct_block_fused(x, wqk, wv, bv, wt, bt, mask,
+                    scale=True, double_norm=False, interpret=False):
+    """Fused SA/OA block compute: returns ``(t_out, ssum, ssumsq)``.
+
+    x: [O, P, C]; wqk [C, da]; wv [C, C]; bv [C]; wt [C, C]; bt [C];
+    mask [O, 1] (1.0 = valid object, in x's dtype). ``double_norm=True``
+    selects the OA residual direction (trans applied to x - attn(x)) and
+    re-normalization. The caller applies BN-fold + residual + relu.
+    """
+    o, p, c = x.shape
+    t = _block_pick_tile(o, p, c, wqk.shape[1], x.dtype.itemsize, bwd=False)
+    if t is None:
+        return _block_unfused(x, wqk, wv, bv, wt, bt, mask,
+                              scale, double_norm, oa=double_norm)
+    acc = _acc_dtype(x.dtype)
+    return pl.pallas_call(
+        partial(_block_fwd_kernel, scale=scale, double_norm=double_norm,
+                oa=double_norm),
+        grid=(o // t,),
+        in_specs=[
+            pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)],
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((o, p, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), acc),
+            jax.ShapeDtypeStruct((1, c), acc),
+        ],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(x, wqk, wv, bv[None], wt, bt[None], mask.astype(jnp.float32))
+
+
+def _block_fwd_rule(x, wqk, wv, bv, wt, bt, mask, scale, double_norm,
+                    interpret):
+    outs = pct_block_fused(x, wqk, wv, bv, wt, bt, mask,
+                           scale, double_norm, interpret)
+    return outs, (x, wqk, wv, bv, wt, bt, mask)
+
+
+def _block_bwd_rule(scale, double_norm, interpret, residuals, cts):
+    x, wqk, wv, bv, wt, bt, mask = residuals
+    dt_out, dsum, dsumsq = cts
+    o, p, c = x.shape
+    da = wqk.shape[1]
+    f32 = _acc_dtype(x.dtype)
+    t = _block_pick_tile(o, p, c, da, x.dtype.itemsize, bwd=True)
+    if t is None:
+        def ref_fn(x, wqk, wv, bv, wt, bt):
+            outs = _block_unfused(x, wqk, wv, bv, wt, bt, mask,
+                                  scale, double_norm, oa=double_norm)
+            return sum((a.astype(f32) * b.astype(f32)).sum()
+                       for a, b in zip(outs, cts))
+        grads = jax.grad(ref_fn, argnums=(0, 1, 2, 3, 4, 5))(
+            x, wqk, wv, bv, wt, bt)
+        return (*grads, jnp.zeros_like(mask))
+
+    grads = pl.pallas_call(
+        partial(_block_bwd_kernel, scale=scale, double_norm=double_norm,
+                oa=double_norm),
+        grid=(o // t,),
+        in_specs=[
+            pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)],
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, da), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((o, p, c), x.dtype),
+            jax.ShapeDtypeStruct((c, da), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(x, wqk, wv, bv[None], wt, bt[None], mask.astype(jnp.float32),
+      dt_out, dsum, dsumsq)
+    dx, dwqk, dwv, dbv, dwt, dbt = grads
+    return (dx, dwqk.astype(wqk.dtype), dwv.astype(wv.dtype),
+            dbv[0].astype(bv.dtype), dwt.astype(wt.dtype),
+            dbt[0].astype(bt.dtype), jnp.zeros_like(mask))
+
+
+pct_block_fused.defvjp(_block_fwd_rule, _block_bwd_rule)

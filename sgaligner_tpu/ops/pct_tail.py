@@ -25,7 +25,8 @@ activation therefore never exists anywhere; HBM sees the four [O, P, C]
 inputs and tiny [O, 1024] outputs.
 
 The custom VJP recomputes z per tile and routes the pool gradients to the
-saved argmax/argmin rows (first-index, like torch.max); the BN batch-statistic
+argmax/argmin rows (first-index, like torch.max), recomputed in the backward
+kernel — keeping the forward free of arg-reductions; the BN batch-statistic
 gradient path flows through the ``ssum``/``ssumsq`` cotangents
 (dz += mask · (dssum + 2 z dssumsq)), which is exactly BN's full backward once
 the caller's moment arithmetic is under autodiff.
@@ -62,8 +63,8 @@ def _z_tile(xs, w_ref, t: int, p: int, c: int):
 
 
 def _fwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
-                pmax_ref, pmin_ref, ssum_ref, ssumsq_ref, *refs,
-                t: int, p: int, with_arg: bool):
+                pmax_ref, pmin_ref, ssum_ref, ssumsq_ref,
+                *, t: int, p: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -78,9 +79,6 @@ def _fwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
     z3 = z.reshape(t, p, -1).astype(acc)
     pmax_ref[:] = jnp.max(z3, axis=1).astype(pmax_ref.dtype)
     pmin_ref[:] = jnp.min(z3, axis=1).astype(pmin_ref.dtype)
-    if with_arg:
-        refs[0][:] = jnp.argmax(z3, axis=1).astype(jnp.int32)
-        refs[1][:] = jnp.argmin(z3, axis=1).astype(jnp.int32)
 
     # Reduce over points FIRST, then mask-weight per object: a [T,1,1] mask
     # broadcast over [T,P,K] needs sublane+lane broadcast at once, which
@@ -93,7 +91,7 @@ def _fwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
 
 
 def _bwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
-                dpmax_ref, dpmin_ref, amax_ref, amin_ref, dsum_ref, dsumsq_ref,
+                dpmax_ref, dpmin_ref, dsum_ref, dsumsq_ref,
                 dx1_ref, dx2_ref, dx3_ref, dx4_ref, dw_ref,
                 *, t: int, p: int):
     i = pl.program_id(0)
@@ -109,12 +107,16 @@ def _bwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
     k = z.shape[-1]
     z3 = z.reshape(t, p, k)
 
-    # pool routing: first-index argmax/argmin rows (torch.max semantics)
+    # pool routing: first-index argmax/argmin rows (torch.max semantics),
+    # recomputed here from z (Mosaic arg-reductions need f32)
     acc = _acc_dtype(dt)
+    zf = z3.astype(jnp.float32) if acc == jnp.float32 else z3
+    amax = jnp.argmax(zf, axis=1).astype(jnp.int32)     # [T, K]
+    amin = jnp.argmin(zf, axis=1).astype(jnp.int32)
     pt = jax.lax.broadcasted_iota(jnp.int32, (t, p, k), 1)
-    g = jnp.where(pt == amax_ref[:][:, None, :],
+    g = jnp.where(pt == amax[:, None, :],
                   dpmax_ref[:].astype(acc)[:, None, :], 0.0)
-    g += jnp.where(pt == amin_ref[:][:, None, :],
+    g += jnp.where(pt == amin[:, None, :],
                    dpmin_ref[:].astype(acc)[:, None, :], 0.0)
     # BN batch-stat path: dz = mask · (dssum + 2 z dssumsq). Fold the mask
     # into per-object [T, K] coefficients first (lane-only broadcasts);
@@ -173,16 +175,15 @@ def _compiler_params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 
 
-def _forward(x1, x2, x3, x4, w, mask, interpret, with_arg):
+def _forward(x1, x2, x3, x4, w, mask, interpret):
     o, p, c = x1.shape
     k = w.shape[1]
     acc = _acc_dtype(x1.dtype)
     t = _pick_tile(o, p, k, x1.dtype.itemsize, bwd=False)
     if t is None:
-        return _unfused([x1, x2, x3, x4], w, mask), (None, None)
-    n_extra = 2 if with_arg else 0
+        return _unfused([x1, x2, x3, x4], w, mask), False
     outs = pl.pallas_call(
-        partial(_fwd_kernel, t=t, p=p, with_arg=with_arg),
+        partial(_fwd_kernel, t=t, p=p),
         grid=(o // t,),
         in_specs=[pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] * 4
@@ -191,16 +192,13 @@ def _forward(x1, x2, x3, x4, w, mask, interpret, with_arg):
         out_specs=[pl.BlockSpec((t, k), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec((1, k), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)] * 2
-        + [pl.BlockSpec((t, k), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)] * n_extra,
+                        memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((o, k), acc)] * 2
-        + [jax.ShapeDtypeStruct((1, k), acc)] * 2
-        + [jax.ShapeDtypeStruct((o, k), jnp.int32)] * n_extra,
+        + [jax.ShapeDtypeStruct((1, k), acc)] * 2,
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(x1, x2, x3, x4, w, mask)
-    return tuple(outs[:4]), (outs[4], outs[5]) if with_arg else (None, None)
+    return tuple(outs), True
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -210,22 +208,21 @@ def pct_tail_fused(x1, x2, x3, x4, w, mask, interpret=False):
     ``(pmax [O,K] f32, pmin [O,K] f32, ssum [1,K] f32, ssumsq [1,K] f32)``
     where ssum/ssumsq sum masked rows of z = concat(x) @ w over all O·P rows.
     """
-    return _forward(x1, x2, x3, x4, w, mask, interpret, with_arg=False)[0]
+    return _forward(x1, x2, x3, x4, w, mask, interpret)[0]
 
 
 def _fwd_rule(x1, x2, x3, x4, w, mask, interpret):
-    outs, (amax, amin) = _forward(x1, x2, x3, x4, w, mask, interpret,
-                                  with_arg=True)
-    return outs, (x1, x2, x3, x4, w, mask, amax, amin)
+    outs, kernel_ok = _forward(x1, x2, x3, x4, w, mask, interpret)
+    return outs, (x1, x2, x3, x4, w, mask, kernel_ok)
 
 
 def _bwd_rule(interpret, residuals, cts):
-    x1, x2, x3, x4, w, mask, amax, amin = residuals
+    x1, x2, x3, x4, w, mask, kernel_ok = residuals
     dpmax, dpmin, dsum, dsumsq = cts
     o, p, c = x1.shape
     k = w.shape[1]
     t = _pick_tile(o, p, k, x1.dtype.itemsize, bwd=True)
-    if t is None or amax is None:
+    if t is None or not kernel_ok:
         acc = _acc_dtype(x1.dtype)
 
         def ref_fn(x1, x2, x3, x4, w):
@@ -243,7 +240,7 @@ def _bwd_rule(interpret, residuals, cts):
         + [pl.BlockSpec(memory_space=pltpu.VMEM),
            pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((t, k), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)] * 4
+                        memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec((1, k), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
@@ -254,7 +251,7 @@ def _bwd_rule(interpret, residuals, cts):
         + [jax.ShapeDtypeStruct((4 * c, k), _acc_dtype(x1.dtype))],
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(x1, x2, x3, x4, w, mask, dpmax, dpmin, amax, amin, dsum, dsumsq)
+    )(x1, x2, x3, x4, w, mask, dpmax, dpmin, dsum, dsumsq)
     dx1, dx2, dx3, dx4, dw = grads
     return (dx1, dx2, dx3, dx4, dw.astype(w.dtype), jnp.zeros_like(mask))
 

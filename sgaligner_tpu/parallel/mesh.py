@@ -56,6 +56,11 @@ def shard_batch(batch: dict, mesh: Mesh, pad: bool = True) -> dict:
     losses/metrics. Requires numpy leaves when padding kicks in.
     """
     dp = mesh.shape["dp"]
+    if dp > 1 and "obj_points_pooled" in batch:
+        raise ValueError(
+            "batch-pooled compaction (obj_points_pooled) is single-chip only: "
+            "its flat object axis is not aligned with the pair axis; pool "
+            "per-shard or set cfg.tpu.pooled_bucket=0 for dp > 1")
     b = batch["obj_mask"].shape[0]
     if pad and b % dp != 0:
         from sgaligner_tpu.data.batch import pad_batch_to

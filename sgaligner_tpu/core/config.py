@@ -125,8 +125,10 @@ class RegModelConfig:
     ransac_min_iters: int = 5000
     ransac_max_iters: int = 5000
     ransac_use_sprt: bool = True
-    # Registration backend: "ransac" (built-in JAX batched Kabsch-RANSAC),
-    # "cpp" (host C++ lib), "geotransformer" (external adapter).
+    # Registration backend: "ransac" (built-in JAX batched Kabsch-RANSAC over
+    # mutual-NN correspondences), "learned" (self-contained JAX
+    # GeoTransformer-class matcher, reg/geo_model.py + checkpoints/geo_reg),
+    # "geotransformer" (external torch checkout adapter).
     backend: str = "ransac"
     # Coarse initializer for the MutualNN backend: "none" (reference's
     # same-world-frame eval semantics) or "pca" (principal-axes alignment,

@@ -187,6 +187,18 @@ def build_backend(cfg, reg_snapshot: str | None = None) -> RegistrationBackend:
             raise ValueError("geotransformer backend needs --reg_snapshot")
         return GeoTransformerBackend(reg_snapshot,
                                      neighbor_limits=cfg.reg_model.neighbor_limits)
+    if cfg.reg_model.backend == "learned":
+        # self-contained learned coarse-to-fine registration (reg/learned.py);
+        # --reg_snapshot points at a reg/train_geo.py checkpoint dir (default:
+        # the pretrained synthetic checkpoint shipped in checkpoints/geo_reg)
+        import os
+
+        from sgaligner_tpu.reg.learned import LearnedBackend
+
+        ckpt = reg_snapshot or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "checkpoints", "geo_reg")
+        return LearnedBackend(checkpoint=ckpt)
     return MutualNNBackend(ransac_threshold=cfg.reg_model.ransac_threshold,
                            ransac_iters=cfg.reg_model.ransac_max_iters,
                            coarse=getattr(cfg.reg_model, "coarse", "none"))

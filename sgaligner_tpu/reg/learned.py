@@ -1,0 +1,232 @@
+"""Learned registration backend: host orchestration around reg/geo_model.py.
+
+Pipeline (mirrors the ROLE of GeoTransformer inference in the reference,
+registration_evaluator.py:58-127, with a TPU-native model):
+
+1. voxel-downsample both clouds; FPS S superpoints (device, ops/fps.py);
+   group the M nearest dense points to each superpoint (static [S, M] patches,
+   superpoint-centered).
+2. run the jitted GeoRegModel -> Sinkhorn superpoint assignment + per-point
+   patch features.
+3. one-to-one superpoint correspondences from the assignment (greedy by
+   score) -> RANSAC rigid fit over the superpoint centers (reg/ransac.py).
+4. ICP densification on the full downsampled clouds (reg/icp.py) — the
+   learned matching solves the GLOBAL association; ICP recovers the
+   voxel-level precision a superpoint-spacing fit cannot.
+
+Output contract == the reference's GeoTransformer consumption
+(estimated_transform, src/ref_corr_points, corr_scores).
+
+Checkpoints: orbax directories written by ``reg/train_geo.py`` (the
+self-contained synthetic trainer); ``LearnedBackend(params=...)`` also accepts
+an in-memory param tree (tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from sgaligner_tpu.reg.geo_model import GeoModelConfig, GeoRegModel
+
+
+def _prep_cloud(points: np.ndarray, n_super: int, patch_m: int,
+                voxel_size: float, max_points: int, rng) -> dict:
+    """Host+device preprocessing to the static model inputs."""
+    import jax.numpy as jnp
+
+    from sgaligner_tpu.ops.fps import farthest_point_sample
+    from sgaligner_tpu.reg.backend import voxel_downsample
+
+    pts = voxel_downsample(points.astype(np.float32), voxel_size)
+    if len(pts) > max_points:
+        pts = pts[rng.choice(len(pts), max_points, replace=False)]
+    n = len(pts)
+    s = min(n_super, n)
+    sp_idx = np.asarray(farthest_point_sample(jnp.asarray(pts)[None], s))[0]
+    sp = pts[sp_idx]                                          # [s, 3]
+    # nearest-M dense points per superpoint (host kNN via argpartition)
+    d = ((sp[:, None, :] - pts[None, :, :]) ** 2).sum(-1)     # [s, n]
+    m = min(patch_m, n)
+    nbr = np.argpartition(d, m - 1, axis=1)[:, :m]            # [s, m]
+    patch = pts[nbr] - sp[:, None, :]
+    pmask = np.ones((s, m), bool)
+    inv, eig = patch_invariants(patch)
+
+    def pad(a, k, fill=0.0):
+        out = np.full((k,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    return {
+        "sp": pad(sp, n_super),
+        "patch": pad(patch, n_super),
+        "inv": pad(inv, n_super),
+        "eig": pad(eig, n_super),
+        "pmask": pad(pmask, n_super, fill=False),
+        "mask": pad(np.ones(s, bool), n_super, fill=False),
+        "points": pts,
+        "nbr": pad(nbr, n_super),
+    }
+
+
+def patch_invariants(patch: np.ndarray):
+    """Rotation-INVARIANT per-point patch features (host numpy).
+
+    The matcher must produce the same features whatever rigid pose the source
+    cloud arrives in (pairs differ by arbitrary SO(3) rotations); raw centered
+    coords are rotation-variant and were measured to stall training. Per patch
+    point p (superpoint-centered): ``(r, z, rho)`` cylindrical invariants
+    about the patch's covariance normal n (smallest eigenvector, sign fixed by
+    the third moment of p.n), plus the per-patch sqrt-eigenvalue spectrum —
+    all invariant under rotations, up to reflections.
+
+    patch: [S, M, 3] -> (inv [S, M, 3], eig [S, 3]).
+    """
+    s, m, _ = patch.shape
+    cov = np.einsum("smi,smj->sij", patch, patch) / max(m, 1)
+    w, v = np.linalg.eigh(cov)                  # ascending eigenvalues
+    normal = v[:, :, 0]                         # [S, 3]
+    zdot = np.einsum("smi,si->sm", patch, normal)
+    sign = np.where((zdot ** 3).sum(axis=1, keepdims=True) >= 0, 1.0, -1.0)
+    z = zdot * sign
+    r = np.linalg.norm(patch, axis=-1)
+    rho = np.sqrt(np.maximum(r * r - z * z, 0.0))
+    inv = np.stack([r, z, rho], axis=-1).astype(np.float32)
+    eig = np.sqrt(np.maximum(w, 0.0)).astype(np.float32)
+    return inv, eig
+
+
+def extract_correspondences(out: dict, src: dict, ref: dict, top_pairs: int):
+    """Superpoint correspondences from the Sinkhorn assignment (host numpy).
+
+    Uses the superpoint CENTERS as correspondence coordinates: their learned
+    matching is the supervised quantity; a RANSAC rigid fit over them gives a
+    coarse transform that ICP densifies on the full clouds (reg/learned.py
+    pipeline step 4). One-to-one pairs by greedy score order."""
+    la = np.asarray(out["log_assign"], np.float32)
+    s = la.shape[0] - 1
+    a = np.exp(la[:s, :s])
+    a = a * src["mask"][:, None] * ref["mask"][None, :]
+    flat = a.reshape(-1)
+    order = np.argsort(-flat)[: top_pairs * 4]
+    src_pts, ref_pts, scores = [], [], []
+    seen_i, seen_j = set(), set()
+    for f in order:
+        i, j = divmod(int(f), s)
+        if flat[f] <= 1e-6:
+            break
+        if i in seen_i or j in seen_j:
+            continue
+        seen_i.add(i)
+        seen_j.add(j)
+        src_pts.append(src["sp"][i])
+        ref_pts.append(ref["sp"][j])
+        scores.append(float(flat[f]))
+        if len(src_pts) >= top_pairs:
+            break
+    if len(src_pts) < 3:
+        return None
+    return (np.asarray(src_pts, np.float32), np.asarray(ref_pts, np.float32),
+            np.asarray(scores, np.float32))
+
+
+def _softmax(x, axis):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def weighted_kabsch(src: np.ndarray, ref: np.ndarray,
+                    w: np.ndarray) -> np.ndarray:
+    w = np.maximum(w, 1e-9)
+    w = w / w.sum()
+    cs = (w[:, None] * src).sum(0)
+    cr = (w[:, None] * ref).sum(0)
+    h = (src - cs).T @ (w[:, None] * (ref - cr))
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    t = np.eye(4)
+    t[:3, :3] = r
+    t[:3, 3] = cr - r @ cs
+    return t
+
+
+class LearnedBackend:
+    """GeoRegModel-based backend satisfying reg/backend.RegistrationBackend."""
+
+    def __init__(self, params=None, checkpoint: str | None = None,
+                 cfg: GeoModelConfig = GeoModelConfig(),
+                 n_super: int = 128, patch_m: int = 32,
+                 voxel_size: float = 0.05, max_points: int = 8192,
+                 top_pairs: int = 24, inlier_thresh: float = 0.15,
+                 refine_icp: bool = True, seed: int = 0):
+        import jax
+
+        if params is None and checkpoint is not None:
+            import json
+            import os
+
+            from sgaligner_tpu.reg.train_geo import load_checkpoint
+
+            params = load_checkpoint(checkpoint)
+            meta_path = os.path.join(checkpoint, "geo_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                cfg = GeoModelConfig(**meta["cfg"])
+                n_super = meta["prep"]["n_super"]
+                patch_m = meta["prep"]["patch_m"]
+                voxel_size = meta["prep"]["voxel_size"]
+        if params is None:
+            raise ValueError("LearnedBackend needs params= or checkpoint=")
+        self.params = params
+        self.cfg = cfg
+        self.n_super = n_super
+        self.patch_m = patch_m
+        self.voxel_size = voxel_size
+        self.max_points = max_points
+        self.top_pairs = top_pairs
+        self.inlier_thresh = inlier_thresh
+        self.refine_icp = refine_icp
+        self.seed = seed
+        model = GeoRegModel(cfg)
+        self._apply = jax.jit(partial(model.apply, {"params": params}))
+
+    def register(self, src_points: np.ndarray, ref_points: np.ndarray,
+                 gt_transform: np.ndarray | None = None) -> dict | None:
+        rng = np.random.default_rng(self.seed)
+        src = _prep_cloud(src_points, self.n_super, self.patch_m,
+                          self.voxel_size, self.max_points, rng)
+        ref = _prep_cloud(ref_points, self.n_super, self.patch_m,
+                          self.voxel_size, self.max_points, rng)
+        if src["mask"].sum() < 4 or ref["mask"].sum() < 4:
+            return None
+        out = self._apply(src["sp"], ref["sp"], src["inv"], ref["inv"],
+                          src["eig"], ref["eig"],
+                          src["pmask"], ref["pmask"], src["mask"], ref["mask"])
+        corr = extract_correspondences(out, src, ref, self.top_pairs)
+        if corr is None:
+            return None
+        src_c, ref_c, scores = corr
+        from sgaligner_tpu.reg.ransac import find_rigid_transform
+
+        est, _ = find_rigid_transform(src_c, ref_c,
+                                      threshold=self.inlier_thresh,
+                                      max_iters=1000, seed=self.seed)
+        if est is None:
+            est = weighted_kabsch(src_c, ref_c, scores)
+        if self.refine_icp:
+            from sgaligner_tpu.reg.icp import icp_refine_host
+
+            est, _ = icp_refine_host(src["points"], ref["points"],
+                                     init_transform=est, iters=15,
+                                     max_corr_dist=6 * self.voxel_size,
+                                     seed=self.seed)
+        return {
+            "estimated_transform": est,
+            "src_corr_points": src_c,
+            "ref_corr_points": ref_c,
+            "corr_scores": scores,
+        }

@@ -1,0 +1,100 @@
+"""Synthetic partial-overlap rigid-registration pairs (host-side).
+
+Self-contained training/validation data for the learned registration backend
+(reg/geo_model.py): scenes are unions of random planar/box patches (structured
+enough for geometry-aware features to matter), two overlapping crops are taken,
+and the source crop is moved by a random rigid transform. No external dataset
+or checkpoint is required — the reference's GeoTransformer instead depends on
+a 3DMatch checkpoint download (/root/reference/src/engine/registration_evaluator.py:24-27).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def random_rigid(rng: np.random.Generator, max_angle_deg: float = 360.0,
+                 max_trans: float = 1.0) -> np.ndarray:
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    ang = np.deg2rad(rng.uniform(0.0, max_angle_deg))
+    kx, ky, kz = axis
+    km = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]])
+    r = np.eye(3) + np.sin(ang) * km + (1 - np.cos(ang)) * (km @ km)
+    t = np.eye(4)
+    t[:3, :3] = r
+    t[:3, 3] = rng.uniform(-max_trans, max_trans, size=3)
+    return t
+
+
+def make_scene(rng: np.random.Generator, n_points: int = 4096,
+               n_patches: int = 8, extent: float = 2.0) -> np.ndarray:
+    """Union of random oriented rectangles, cylinder walls and box corners —
+    varied local geometry (planes alone make patches locally
+    indistinguishable, starving the matcher of discriminative features)."""
+    pts = []
+    per = n_points // n_patches
+    for _ in range(n_patches):
+        kind = rng.integers(3)
+        origin = rng.uniform(-extent, extent, size=3)
+        u, v = rng.normal(size=3), rng.normal(size=3)
+        u /= np.linalg.norm(u)
+        v -= u * (v @ u)
+        v /= np.linalg.norm(v)
+        n = np.cross(u, v)
+        if kind == 0:      # rectangle
+            a = rng.uniform(0.4, 1.5, size=2)
+            coords = rng.uniform(0, 1, size=(per, 2)) * a
+            thick = rng.normal(size=(per, 1)) * 0.01
+            pts.append(origin + coords[:, :1] * u + coords[:, 1:] * v
+                       + thick * n)
+        elif kind == 1:    # cylinder wall segment
+            radius = rng.uniform(0.15, 0.6)
+            height = rng.uniform(0.3, 1.2)
+            arc = rng.uniform(np.pi / 2, 2 * np.pi)
+            th = rng.uniform(0, arc, size=per)
+            h = rng.uniform(0, height, size=per)
+            pts.append(origin + radius * np.cos(th)[:, None] * u
+                       + radius * np.sin(th)[:, None] * v + h[:, None] * n)
+        else:              # two faces meeting at an edge (corner)
+            a = rng.uniform(0.3, 0.9, size=2)
+            half = per // 2
+            c1 = rng.uniform(0, 1, size=(half, 2)) * a
+            c2 = rng.uniform(0, 1, size=(per - half, 2)) * a
+            pts.append(origin + c1[:, :1] * u + c1[:, 1:] * v)
+            pts.append(origin + c2[:, :1] * u + c2[:, 1:] * n)
+    pts = np.concatenate(pts)[:n_points]
+    return pts.astype(np.float32)
+
+
+def make_pair(rng: np.random.Generator, n_points: int = 4096,
+              overlap: float = 0.6, noise: float = 0.005,
+              max_angle_deg: float = 360.0, max_trans: float = 1.0):
+    """Returns (src [n,3], ref [m,3], gt_transform src->ref frame).
+
+    Crops two overlapping half-spaces of a scene; the SOURCE crop is expressed
+    in its own (randomly transformed) frame; gt maps src coords to ref coords.
+    """
+    scene = make_scene(rng, n_points=int(n_points / max(overlap, 0.3)) + 256)
+    d = rng.normal(size=3)
+    d /= np.linalg.norm(d)
+    proj = scene @ d
+    lo, hi = np.quantile(proj, [0.0, 1.0])
+    span = hi - lo
+    # two end-anchored windows of length w overlap by 2w - span;
+    # 2w - span = overlap * span  =>  w = span * (1 + overlap) / 2
+    w = span * (1.0 + overlap) / 2.0
+    ref_sel = proj <= lo + w
+    src_sel = proj >= hi - w
+    ref = scene[ref_sel]
+    src_world = scene[src_sel]
+    if len(ref) < 64 or len(src_world) < 64:  # degenerate crop: retry
+        return make_pair(rng, n_points, overlap, noise, max_angle_deg,
+                         max_trans)
+    gt_inv = random_rigid(rng, max_angle_deg, max_trans)  # world -> src frame
+    src = src_world @ gt_inv[:3, :3].T + gt_inv[:3, 3]
+    src = src + rng.normal(size=src.shape).astype(np.float32) * noise
+    ref = ref + rng.normal(size=ref.shape).astype(np.float32) * noise
+    gt = np.linalg.inv(gt_inv)  # src frame -> world == ref frame
+    return (src.astype(np.float32), ref.astype(np.float32),
+            gt.astype(np.float32))

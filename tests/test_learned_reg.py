@@ -1,0 +1,124 @@
+"""Learned coarse-to-fine registration (reg/geo_model.py + reg/learned.py).
+
+Covers the pieces the reference could never test (its GeoTransformer is an
+absent submodule): Sinkhorn marginals, rotation invariance of the patch
+features, gt-supervision construction, learning progress, and — with the
+pretrained synthetic checkpoint shipped in checkpoints/geo_reg — full-pipeline
+registration quality under arbitrary SO(3) transforms.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgaligner_tpu.reg.geo_model import GeoModelConfig, GeoRegModel, sinkhorn_log
+from sgaligner_tpu.reg.learned import LearnedBackend, patch_invariants
+from sgaligner_tpu.reg.synthetic_pairs import make_pair, random_rigid
+from sgaligner_tpu.reg.train_geo import gt_superpoint_matches, train
+
+CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "checkpoints", "geo_reg")
+
+
+def test_sinkhorn_marginals_and_masking():
+    rng = np.random.default_rng(0)
+    s, r = 6, 5
+    scores = jnp.asarray(rng.normal(size=(s, r)))
+    sm = jnp.asarray([True, True, True, True, False, False])
+    rm = jnp.asarray([True, True, True, False, False])
+    la = sinkhorn_log(scores, sm, rm, jnp.asarray(0.5), iters=200)
+    a = np.exp(np.asarray(la))
+    # real rows sum to ~1 (their mass), masked rows carry ~0 mass
+    np.testing.assert_allclose(a[:s][np.asarray(sm)].sum(axis=1), 1.0,
+                               atol=1e-4)
+    assert a[:s][~np.asarray(sm)].sum() < 1e-6
+    np.testing.assert_allclose(a[:, :r][:, np.asarray(rm)].sum(axis=0), 1.0,
+                               atol=1e-4)
+    # total real-to-real + dustbin mass conserves each side's count
+    np.testing.assert_allclose(a[:s, :].sum(), float(sm.sum()), atol=1e-3)
+
+
+def test_patch_invariants_rotation_invariant():
+    rng = np.random.default_rng(1)
+    patch = rng.normal(size=(5, 12, 3)).astype(np.float32)
+    t = random_rigid(rng)[:3, :3]
+    inv_a, eig_a = patch_invariants(patch)
+    inv_b, eig_b = patch_invariants(patch @ t.T)
+    np.testing.assert_allclose(inv_a, inv_b, atol=1e-4)
+    np.testing.assert_allclose(eig_a, eig_b, atol=1e-5)
+
+
+def test_gt_superpoint_matches_identity():
+    rng = np.random.default_rng(2)
+    sp = rng.normal(size=(10, 3)).astype(np.float32)
+    mask = np.ones(10, bool)
+    pairs, src_un, ref_un = gt_superpoint_matches(sp, sp, mask, mask,
+                                                  np.eye(4), 0.05)
+    np.testing.assert_array_equal(pairs[:, 0], pairs[:, 1])
+    assert len(pairs) == 10
+    assert not src_un.any() and not ref_un.any()
+
+
+def test_model_forward_shapes():
+    rng = np.random.default_rng(3)
+    s, m = 8, 6
+    cfg = GeoModelConfig(dim=32, point_dim=16, heads=2, blocks=1,
+                         sinkhorn_iters=5)
+    model = GeoRegModel(cfg)
+    args = (jnp.asarray(rng.normal(size=(s, 3))),
+            jnp.asarray(rng.normal(size=(s, 3))),
+            jnp.asarray(rng.normal(size=(s, m, 3))),
+            jnp.asarray(rng.normal(size=(s, m, 3))),
+            jnp.abs(jnp.asarray(rng.normal(size=(s, 3)))),
+            jnp.abs(jnp.asarray(rng.normal(size=(s, 3)))),
+            jnp.ones((s, m), bool), jnp.ones((s, m), bool),
+            jnp.ones(s, bool), jnp.ones(s, bool))
+    params = model.init(jax.random.key(0), *args)["params"]
+    out = model.apply({"params": params}, *args)
+    assert out["log_assign"].shape == (s + 1, s + 1)
+    assert np.isfinite(np.asarray(out["log_assign"])).all()
+
+
+def test_training_loss_decreases():
+    params, losses, _ = train(steps=20, n_super=16, patch_m=8, n_points=512,
+                              batch_pairs=2, verbose=False,
+                              cfg=GeoModelConfig(dim=32, point_dim=16, heads=2,
+                                                 blocks=1, sinkhorn_iters=10))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+@pytest.mark.skipif(not os.path.isdir(CKPT),
+                    reason="pretrained geo_reg checkpoint not present")
+def test_pretrained_backend_registers_under_full_so3():
+    be = LearnedBackend(checkpoint=CKPT)
+    rng = np.random.default_rng(321)
+    ok = 0
+    for _ in range(3):
+        src, ref, gt = make_pair(rng, n_points=2048, overlap=0.6)
+        out = be.register(src, ref)
+        assert out is not None
+        for key in ("estimated_transform", "src_corr_points",
+                    "ref_corr_points", "corr_scores"):
+            assert key in out
+        err = np.linalg.inv(gt) @ out["estimated_transform"]
+        rre = np.rad2deg(np.arccos(np.clip((np.trace(err[:3, :3]) - 1) / 2,
+                                           -1, 1)))
+        rte = np.linalg.norm(err[:3, 3])
+        if rre < 5.0 and rte < 0.10:
+            ok += 1
+    assert ok >= 2, "pretrained backend failed to register synthetic pairs"
+
+
+@pytest.mark.skipif(not os.path.isdir(CKPT),
+                    reason="pretrained geo_reg checkpoint not present")
+def test_learned_backend_via_config_factory():
+    from sgaligner_tpu.core.config import make_cfg
+    from sgaligner_tpu.reg.backend import build_backend
+
+    cfg = make_cfg(model_name="sgaligner", modules=["point"])
+    cfg.reg_model.backend = "learned"
+    be = build_backend(cfg)
+    assert isinstance(be, LearnedBackend)

@@ -205,19 +205,30 @@ class NaivePCT(nn.Module):
     out_size: int = 256
     dtype: jnp.dtype = jnp.float32
     fused: str = "auto"
+    # input layout: points-last [O, P, 3] (default) or CHANNEL-FIRST
+    # [O, 3, P] — the batch contract's native layout; with the fused
+    # embedding the 43x lane-padded [O, P, 3] array then never exists
+    channel_first: bool = False
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, mask: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
-        """points: [O, P, 3]; mask: [O] valid-object mask -> [O, out_size]."""
-        x = points.astype(self.dtype)
+        """points: [O, P, 3] (or [O, 3, P] with channel_first);
+        mask: [O] valid-object mask -> [O, out_size]."""
         pm = mask[:, None]
 
-        # Embedding: 2 × (conv(no bias) + BN + relu) (pct.py:101-125)
-        for i in range(2):
-            x = nn.Dense(128, use_bias=False, dtype=self.dtype, name=f"emb{i}")(x)
-            x = MaskedBatchNorm(128, name=f"emb{i}_bn")(x, pm, train)
-            x = nn.relu(x)
+        if _use_fused(self.fused):
+            x = self._fused_embedding(points, mask, pm, train)
+        else:
+            x = points.astype(self.dtype)
+            if self.channel_first:
+                x = jnp.swapaxes(x, 1, 2)
+            # Embedding: 2 × (conv(no bias) + BN + relu) (pct.py:101-125)
+            for i in range(2):
+                x = nn.Dense(128, use_bias=False, dtype=self.dtype,
+                             name=f"emb{i}")(x)
+                x = MaskedBatchNorm(128, name=f"emb{i}_bn")(x, pm, train)
+                x = nn.relu(x)
 
         feats = []
         for i in range(4):
@@ -264,6 +275,41 @@ class NaivePCT(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         return x
+
+    def _fused_embedding(self, points, mask, pm, train):
+        """Both embedding conv+BN+relu layers via ops/pct_embed.py kernels:
+        raw pre-BN activations + in-kernel masked stats; the BN folds are
+        applied in the next kernel's prologue (layer 1) / one XLA pass
+        (layer 2 output, feeding the SA stack)."""
+        from sgaligner_tpu.ops.pct_embed import (embed_first_fused,
+                                                 embed_second_fused)
+
+        pts = points.astype(self.dtype)
+        pts_cf = pts if self.channel_first else jnp.swapaxes(pts, 1, 2)
+        interpret = jax.default_backend() == "cpu"
+        kmask = mask.astype(self.dtype)[:, None]
+        p_pts = pts_cf.shape[2]
+        count = jnp.maximum(mask.astype(jnp.float32).sum() * p_pts, 1.0)
+
+        def fold(name, ssum, ssumsq, ref):
+            mean = ssum[0] / count
+            var = jnp.maximum(ssumsq[0] / count - jnp.square(mean), 0.0)
+            w, b = MaskedBatchNorm(128, name=name)(
+                ref, pm, train, moments=(mean, var, count), return_fold=True)
+            return (w.astype(self.dtype)[None], b.astype(self.dtype)[None])
+
+        w0, _ = _DenseParams(3, 128, use_bias=False, name="emb0")()
+        h0, s0a, s0b = embed_first_fused(
+            jax.lax.stop_gradient(pts_cf), w0.astype(self.dtype), kmask,
+            interpret)
+        wf0, bf0 = fold("emb0_bn", s0a, s0b, h0)
+
+        w1, _ = _DenseParams(128, 128, use_bias=False, name="emb1")()
+        h1, s1a, s1b = embed_second_fused(h0, wf0, bf0,
+                                          w1.astype(self.dtype), kmask,
+                                          interpret)
+        wf1, bf1 = fold("emb1_bn", s1a, s1b, h1)
+        return nn.relu(h1 * wf1 + bf1)
 
 
 class SPCT(nn.Module):

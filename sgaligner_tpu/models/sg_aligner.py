@@ -129,10 +129,13 @@ class MultiModalEncoder(nn.Module):
                                            name="object_encoder")(
                         pts, train=train)
                 else:
+                    # channel-first straight through: with the fused embedding
+                    # the 43x lane-padded [O, P, 3] array never materializes
                     feat = NaivePCT(self.pt_out_dim, dtype=self.dtype,
                                     fused=self.pointnet_fused,
+                                    channel_first=True,
                                     name="object_encoder")(
-                        jnp.swapaxes(pts, 1, 2), enc_mask, train=train)
+                        pts, enc_mask, train=train)
                 emb = nn.Dense(self.emb_dim, dtype=self.dtype,
                                name="object_embedding")(feat)
                 if compact == "pooled":

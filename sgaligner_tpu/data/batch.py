@@ -284,3 +284,49 @@ def pool_compact(batch: PairBatch, bucket: int = 128) -> PairBatch:
     out["pooled_flat_idx"] = idx
     out["pooled_mask"] = mask
     return out
+
+
+def pool_compact_sharded(batch: PairBatch, bucket: int = 128,
+                         dp: int = 1) -> PairBatch:
+    """Per-SHARD pooled compaction for data-parallel runs.
+
+    Pools each contiguous block of ``B/dp`` pairs independently to one common
+    bucket size K, then concatenates: row block ``[i*K, (i+1)*K)`` of the
+    pooled fields references only pairs of shard i, so sharding every field
+    along axis 0 over the "dp" mesh axis keeps the encoder's gather/scatter
+    shard-local. ``pooled_flat_idx`` stays GLOBAL (``b * 2N + slot``) — the
+    model is unchanged. The caller must pass the same ``dp`` as the mesh
+    (loaders derive it from cfg.tpu.dp).
+    """
+    if dp <= 1:
+        return pool_compact(batch, bucket)
+    b = batch["obj_mask"].shape[0]
+    two_n = batch["obj_mask"].shape[1]
+    if b % dp != 0:
+        raise ValueError(f"batch {b} not divisible by dp={dp}")
+    bs = b // dp
+    shards = [pool_compact({k: v[i * bs:(i + 1) * bs]
+                            for k, v in batch.items()}, bucket)
+              for i in range(dp)]
+    k = max(s["obj_points_pooled"].shape[0] for s in shards)
+
+    def repad(s, i):
+        kk = s["obj_points_pooled"].shape[0]
+        pts = np.zeros((k,) + s["obj_points_pooled"].shape[1:],
+                       s["obj_points_pooled"].dtype)
+        pts[:kk] = s["obj_points_pooled"]
+        idx = np.zeros((k,), np.int32)
+        idx[:kk] = s["pooled_flat_idx"] + i * bs * two_n  # shard -> global
+        mask = np.zeros((k,), bool)
+        mask[:kk] = s["pooled_mask"]
+        return pts, idx, mask
+
+    parts = [repad(s, i) for i, s in enumerate(shards)]
+    out = {kk: np.concatenate([s[kk] for s in shards])
+           for kk in shards[0]
+           if kk not in ("obj_points_pooled", "pooled_flat_idx",
+                         "pooled_mask")}
+    out["obj_points_pooled"] = np.concatenate([p[0] for p in parts])
+    out["pooled_flat_idx"] = np.concatenate([p[1] for p in parts])
+    out["pooled_mask"] = np.concatenate([p[2] for p in parts])
+    return out

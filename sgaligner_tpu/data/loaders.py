@@ -70,12 +70,15 @@ class BatchLoader:
 
 
 def _pool_transform(cfg: Config):
-    # batch-pooled compaction when cfg.tpu.pooled_bucket > 0 (single-chip
-    # only: pooling breaks pair-axis dp sharding)
+    # batch-pooled compaction when cfg.tpu.pooled_bucket > 0; per-shard
+    # pooling under data parallelism keeps the encoder shard-local
     bucket = getattr(cfg.tpu, "pooled_bucket", 0)
-    if bucket <= 0 or cfg.tpu.dp not in (0, 1):
+    if bucket <= 0:
         return None
-    return lambda b: pool_compact(b, bucket)
+    from sgaligner_tpu.data.batch import pool_compact_sharded
+
+    dp = cfg.tpu.dp if cfg.tpu.dp > 1 else 1
+    return lambda b: pool_compact_sharded(b, bucket, dp)
 
 
 def get_train_val_data_loader(cfg: Config, dataset_cls=Scan3RDataset):

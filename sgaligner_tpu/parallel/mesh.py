@@ -57,10 +57,14 @@ def shard_batch(batch: dict, mesh: Mesh, pad: bool = True) -> dict:
     """
     dp = mesh.shape["dp"]
     if dp > 1 and "obj_points_pooled" in batch:
-        raise ValueError(
-            "batch-pooled compaction (obj_points_pooled) is single-chip only: "
-            "its flat object axis is not aligned with the pair axis; pool "
-            "per-shard or set cfg.tpu.pooled_bucket=0 for dp > 1")
+        k = batch["obj_points_pooled"].shape[0]
+        if k % dp != 0:
+            raise ValueError(
+                f"pooled object axis ({k}) not divisible by dp={dp}: build "
+                "the batch with data.batch.pool_compact_sharded(dp=mesh dp) "
+                "(per-shard pooling also keeps the encoder gather/scatter "
+                "shard-local; GSPMD stays correct either way, just slower "
+                "when rows cross shards)")
     b = batch["obj_mask"].shape[0]
     if pad and b % dp != 0:
         from sgaligner_tpu.data.batch import pad_batch_to

@@ -92,13 +92,57 @@ def test_pooled_model_matches_padded_forward_and_grads():
                                    rtol=2e-4, atol=2e-5, err_msg=str(path))
 
 
-def test_pooled_rejected_by_dp_sharding():
+def test_pooled_sharded_dp_equivalence():
+    """Per-shard pooling under a dp=2 mesh: one jitted train step produces
+    the same loss as the single-device pooled step."""
+    import optax
+
+    from sgaligner_tpu.data.batch import pool_compact_sharded
+    from sgaligner_tpu.engine.train_step import (create_train_state,
+                                                 make_train_step)
+    from sgaligner_tpu.ops.objective import init_loss_params
+    from sgaligner_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    spec = BatchSpec(batch_size=4, max_objects=6, points_per_object=16)
+    batch = _batch(spec, seed=7)
+
+    model_args = dict(modules=MODULES, pointnet_fused="never",
+                      dtype=jnp.float32)
+    from sgaligner_tpu.models.sg_aligner import MultiModalEncoder as MME
+
+    def run(dp):
+        model = MME(**model_args)
+        if dp == 1:
+            b = {k: jnp.asarray(v)
+                 for k, v in pool_compact(batch, bucket=8).items()}
+        else:
+            mesh = make_mesh(dp)
+            b = shard_batch(pool_compact_sharded(batch, bucket=8, dp=dp),
+                            mesh)
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, tx, b, init_loss_params(4),
+                                   jax.random.key(0))
+        if dp > 1:
+            state = jax.device_put(state, replicated(mesh))
+        step = make_train_step(model, tx, MODULES)
+        _, metrics = step(state, b)
+        return float(jax.device_get(metrics["loss"]))
+
+    np.testing.assert_allclose(run(1), run(2), rtol=1e-5)
+
+
+def test_pooled_unaligned_k_rejected_by_dp_sharding():
     from sgaligner_tpu.parallel.mesh import make_mesh, shard_batch
 
     if len(jax.devices()) < 2:
         pytest.skip("needs >= 2 devices")
     spec = BatchSpec(batch_size=4, max_objects=6, points_per_object=8)
     pooled = pool_compact(_batch(spec), bucket=8)
+    # force an odd pooled axis so dp=2 cannot split it evenly
+    for key in ("obj_points_pooled", "pooled_flat_idx", "pooled_mask"):
+        pooled[key] = pooled[key][:-1]
     mesh = make_mesh(2)
-    with pytest.raises(ValueError, match="single-chip"):
+    with pytest.raises(ValueError, match="not divisible"):
         shard_batch(pooled, mesh)

@@ -13,7 +13,8 @@ Fast and Robust Point Cloud Registration", CVPR 2022), built TPU-first:
 * geometric self-attention: pair-wise distance + triplet-angle sinusoidal
   embeddings bias the attention logits,
 * superpoint matching by log-domain Sinkhorn optimal transport with a learned
-  dustbin (masked), point matching by dual-softmax inside matched patches,
+  dustbin (masked); the backend fits a coarse rigid transform from matched
+  superpoint centers and densifies with ICP (reg/learned.py),
 * trained self-contained on synthetic rigid-registration data
   (reg/synthetic_pairs.py) — no external checkpoint required.
 
@@ -214,7 +215,9 @@ class GeoRegModel(nn.Module):
     Returns dict:
       log_assign [S+1, S+1]  log OT superpoint assignment
       src_feats/ref_feats [S, dim]  (L2-normalized)
-      src_pf/ref_pf [S, M, point_dim]  per-point patch features
+      src_pf/ref_pf [S, M, point_dim]  per-point patch features (available
+        for point-level matching extensions; the current backend registers
+        from superpoint centers + ICP)
     """
 
     cfg: GeoModelConfig = GeoModelConfig()

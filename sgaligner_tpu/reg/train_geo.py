@@ -4,16 +4,18 @@ Trains on synthetic partial-overlap rigid pairs (reg/synthetic_pairs.py) —
 no external dataset/checkpoint, unlike the reference's GeoTransformer whose
 3DMatch checkpoint must be downloaded (registration_evaluator.py:24-27).
 
-Losses (SuperGlue-style negative log-likelihood over the Sinkhorn assignment):
-* superpoint matching: gt superpoint pairs = mutual-nearest superpoints under
-  the gt transform within ``match_radius``; unmatched real superpoints are
-  supervised into the dustbin.
-* point matching: for the gt superpoint pairs, InfoNCE over patch-point
-  features at gt nearest-point matches.
+Loss: SuperGlue-style negative log-likelihood over the Sinkhorn assignment —
+gt superpoint pairs (mutual-nearest under the gt transform within
+``match_radius``) are pulled up, unmatched real superpoints are supervised
+into the dustbin. Point-level precision is NOT learned: the backend
+(reg/learned.py) fits a coarse transform from the matched superpoint CENTERS
+and lets ICP recover voxel-level accuracy, so only the global association
+needs supervision.
 
 CLI: ``python -m sgaligner_tpu.reg.train_geo --steps 2000 --out runs/geo``
-(also exposed as scripts/train_registration.sh). The checkpoint directory is
-consumed by ``reg/learned.py::LearnedBackend(checkpoint=...)``.
+(also scripts/train_registration.sh). The checkpoint directory is consumed by
+``reg/learned.py::LearnedBackend(checkpoint=...)`` /
+``reg_model.backend: learned``. ``--overlap_lo/hi`` set the curriculum range.
 """
 
 from __future__ import annotations
@@ -50,8 +52,11 @@ def gt_superpoint_matches(src_sp, ref_sp, src_mask, ref_mask, gt,
 def _prep_training_pair(rng, cfg_prep):
     from sgaligner_tpu.reg.learned import _prep_cloud
 
+    ov = cfg_prep["overlap"]
+    if isinstance(ov, (tuple, list)):          # curriculum: sample per pair
+        ov = float(rng.uniform(ov[0], ov[1]))
     src_pts, ref_pts, gt = make_pair(
-        rng, n_points=cfg_prep["n_points"], overlap=cfg_prep["overlap"],
+        rng, n_points=cfg_prep["n_points"], overlap=ov,
         max_angle_deg=cfg_prep["max_angle_deg"],
         max_trans=cfg_prep["max_trans"])
     src = _prep_cloud(src_pts, cfg_prep["n_super"], cfg_prep["patch_m"],
@@ -221,9 +226,12 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default="runs/geo_reg")
     ap.add_argument("--n_super", type=int, default=64)
     ap.add_argument("--patch_m", type=int, default=24)
+    ap.add_argument("--overlap_lo", type=float, default=0.35)
+    ap.add_argument("--overlap_hi", type=float, default=0.8)
     args = ap.parse_args(argv)
     train(steps=args.steps, seed=args.seed, lr=args.lr, out_dir=args.out,
-          n_super=args.n_super, patch_m=args.patch_m)
+          n_super=args.n_super, patch_m=args.patch_m,
+          overlap=(args.overlap_lo, args.overlap_hi))
 
 
 if __name__ == "__main__":

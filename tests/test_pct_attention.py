@@ -108,3 +108,36 @@ def test_fused_attention_odd_object_count():
     want = _einsum_reference(x, wqk, wv, bv, True, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_oa_block_fused_train_mode_stats_parity():
+    """OABlock fused vs unfused in TRAIN mode: the block-fused kernel's
+    in-kernel BN partial sums must reproduce the unfused masked batch-stats
+    (values, running-stat updates and param grads)."""
+    x = _rand((4, 16, 128), 13)
+    mask = jnp.array([True, True, True, False])
+    never = OABlock(128, fused="never")
+    always = OABlock(128, fused="always")
+    params = never.init(jax.random.key(0), x, mask, train=False)
+
+    out_n, mut_n = never.apply(params, x, mask, train=True,
+                               mutable=["batch_stats"])
+    out_f, mut_f = always.apply(params, x, mask, train=True,
+                                mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                               rtol=2e-5, atol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+        mut_n["batch_stats"], mut_f["batch_stats"])
+
+    def loss(p, mod):
+        y, _ = mod.apply(p, x, mask, train=True, mutable=["batch_stats"])
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    g_n = jax.grad(loss)(params, never)
+    g_f = jax.grad(loss)(params, always)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
+        g_n, g_f)

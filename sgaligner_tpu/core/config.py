@@ -165,6 +165,10 @@ class TpuConfig:
     # (0 = off). Tighter than compact_slots at typical occupancy; single-chip
     # only (incompatible with pair-axis dp sharding).
     pooled_bucket: int = 0
+    # Fused Pallas kernel policy: "auto" (fused on TPU, XLA on CPU), "always"
+    # (fused everywhere — interpret mode off-TPU; used to exercise the
+    # flagship kernel path on virtual CPU meshes), "never".
+    fused: str = "auto"
     # Pad the pair-batch dim to a multiple of dp.
     donate_batch: bool = True
 

@@ -301,9 +301,13 @@ def pool_compact_sharded(batch: PairBatch, bucket: int = 128,
     if dp <= 1:
         return pool_compact(batch, bucket)
     b = batch["obj_mask"].shape[0]
-    two_n = batch["obj_mask"].shape[1]
     if b % dp != 0:
-        raise ValueError(f"batch {b} not divisible by dp={dp}")
+        # ragged final val batch (drop_last=False): pad with empty pairs to a
+        # dp multiple BEFORE pooling (the shard_batch path did the same via
+        # pad_batch_to; raising here broke dp>1 validation — advisor r2)
+        batch = pad_batch_to(batch, ((b + dp - 1) // dp) * dp)
+        b = batch["obj_mask"].shape[0]
+    two_n = batch["obj_mask"].shape[1]
     bs = b // dp
     shards = [pool_compact({k: v[i * bs:(i + 1) * bs]
                             for k, v in batch.items()}, bucket)

@@ -233,13 +233,17 @@ def _write_ply(filename: str, rec: np.ndarray) -> None:
 def make_raw_scene_workspace(root: str, split: str = "train",
                              n_scenes: int = 1, n_objects: int = 10,
                              pts_per_obj: int = 300, n_frames: int = 12,
-                             seed: int = 0) -> dict:
+                             seed: int = 0, scene_offset: int = 0) -> dict:
     """Write raw 3RScan-style scenes: annotated PLY + camera trajectory +
     intrinsics + scene-level relationships/objects jsons + split list.
 
     Objects are laid out along x; cameras slide along x looking down +z with a
     narrow FoV, so consecutive frames reveal overlapping point subsets — the
     trajectory walk in data/subscan_gen.py then carves multiple subscans.
+
+    ``scene_offset`` numbers the scenes from that index, and scene-level jsons
+    are MERGED with existing ones, so calling once per split builds a
+    multi-split workspace in one root (the chained-pipeline test).
     """
     rng = np.random.default_rng(seed)
     scans_dir = osp.join(root, "scans")
@@ -247,7 +251,7 @@ def make_raw_scene_workspace(root: str, split: str = "train",
     ensure_dir(files_dir)
 
     rels_json, objs_json, scan_ids = [], [], []
-    for s in range(n_scenes):
+    for s in range(scene_offset, scene_offset + n_scenes):
         scan_id = f"rawscene{s:02d}"
         scan_ids.append(scan_id)
         seq_dir = osp.join(scans_dir, scan_id, "sequence")
@@ -296,8 +300,15 @@ def make_raw_scene_workspace(root: str, split: str = "train",
              "attributes": {"state": [ATTRIBUTE_NAMES[int(i) % len(ATTRIBUTE_NAMES)]]}}
             for i in ids]})
 
-    write_json({"scans": rels_json}, osp.join(files_dir, "relationships.json"))
-    write_json({"scans": objs_json}, osp.join(files_dir, "objects.json"))
+    rel_path = osp.join(files_dir, "relationships.json")
+    obj_path = osp.join(files_dir, "objects.json")
+    if osp.exists(rel_path):  # merge with a previous split's scenes
+        from sgaligner_tpu.utils.io import load_json
+
+        rels_json = load_json(rel_path)["scans"] + rels_json
+        objs_json = load_json(obj_path)["scans"] + objs_json
+    write_json({"scans": rels_json}, rel_path)
+    write_json({"scans": objs_json}, obj_path)
     with open(osp.join(files_dir, f"{split}_scans.txt"), "w") as f:
         f.write("\n".join(scan_ids))
     with open(osp.join(files_dir, "relationships.txt"), "w") as f:

@@ -22,7 +22,9 @@ def build_model(cfg: Config, platform: str | None = None):
     which can differ from jax.default_backend() — e.g. a virtual CPU mesh on a
     TPU box; Pallas kernels must be disabled there."""
     dtype = jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32
-    fused = "never" if platform == "cpu" else "auto"
+    fused = getattr(cfg.tpu, "fused", "auto")
+    if fused == "auto" and platform == "cpu":
+        fused = "never"
     if cfg.model_name == "eva":
         return EVA(
             modules=tuple(cfg.modules),

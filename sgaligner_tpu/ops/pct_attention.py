@@ -164,10 +164,11 @@ def _pick_tile(o: int, p: int, c: int, da: int, itemsize: int,
     if override:  # perf-tuning escape hatch (tile sweeps)
         t = int(override)
         return t if o % t == 0 else None
-    # vmem_limit_bytes is raised via CompilerParams (the 16 MB default scoped
-    # limit is what capped round-1 tiles); measured sweet spots stay small —
-    # t=4 fwd / t=4 bwd at P=512 — because smaller tiles pipeline DMA better.
-    budget = 24 * 2**20 if bwd else 12 * 2**20
+    # budgets must stay UNDER the 16 MB default scoped-vmem limit
+    # (_compiler_params returns None on purpose: raising vmem_limit_bytes
+    # measured ~15% slower — double-buffering depth is traded away). Measured
+    # sweet spots stay small anyway: t=4 fwd / t=4 bwd at P=512 (~14.7 MB).
+    budget = 15 * 2**20 if bwd else 12 * 2**20
     per = _vmem_per_object(p, c, da, itemsize, bwd)
     for t in (8, 4, 2, 1):
         if o % t == 0 and t * per <= budget:

@@ -9,10 +9,13 @@ registration_evaluator.py:58-127, with a TPU-native model):
 2. run the jitted GeoRegModel -> Sinkhorn superpoint assignment + per-point
    patch features.
 3. one-to-one superpoint correspondences from the assignment (greedy by
-   score) -> RANSAC rigid fit over the superpoint centers (reg/ransac.py).
-4. ICP densification on the full downsampled clouds (reg/icp.py) — the
-   learned matching solves the GLOBAL association; ICP recovers the
-   voxel-level precision a superpoint-spacing fit cannot.
+   score), then the FINE stage: a point-level Sinkhorn inside each matched
+   patch pair (geo_model.fine_log_assign over the conditioned per-point
+   features) yields dense point correspondences; mutual-argmax pairs above a
+   score threshold are pooled -> RANSAC rigid fit (reg/ransac.py). Superpoint
+   centers are the fallback when too few fine matches clear the bar.
+4. ICP refinement on the full downsampled clouds (reg/icp.py) — the learned
+   matching solves the GLOBAL association; ICP polishes to voxel precision.
 
 Output contract == the reference's GeoTransformer consumption
 (estimated_transform, src/ref_corr_points, corr_scores).
@@ -44,7 +47,19 @@ def _prep_cloud(points: np.ndarray, n_super: int, patch_m: int,
         pts = pts[rng.choice(len(pts), max_points, replace=False)]
     n = len(pts)
     s = min(n_super, n)
-    sp_idx = np.asarray(farthest_point_sample(jnp.asarray(pts)[None], s))[0]
+    # bucket-pad to power-of-two sizes so the jitted FPS compiles O(log N)
+    # distinct shapes instead of one per unique cloud size (a fresh XLA
+    # compile per pair dominated wall-clock before)
+    bucket = 256
+    while bucket < n:
+        bucket *= 2
+    pts_pad = np.zeros((bucket, 3), np.float32)
+    pts_pad[:n] = pts
+    valid = np.zeros((bucket,), bool)
+    valid[:n] = True
+    sp_idx = np.asarray(farthest_point_sample(
+        jnp.asarray(pts_pad)[None], n_super,
+        mask=jnp.asarray(valid)[None]))[0][:s]
     sp = pts[sp_idx]                                          # [s, 3]
     # nearest-M dense points per superpoint (host kNN via argpartition)
     d = ((sp[:, None, :] - pts[None, :, :]) ** 2).sum(-1)     # [s, n]
@@ -101,17 +116,16 @@ def patch_invariants(patch: np.ndarray):
 def extract_correspondences(out: dict, src: dict, ref: dict, top_pairs: int):
     """Superpoint correspondences from the Sinkhorn assignment (host numpy).
 
-    Uses the superpoint CENTERS as correspondence coordinates: their learned
-    matching is the supervised quantity; a RANSAC rigid fit over them gives a
-    coarse transform that ICP densifies on the full clouds (reg/learned.py
-    pipeline step 4). One-to-one pairs by greedy score order."""
+    One-to-one (i, j) pairs by greedy score order. Returns the superpoint
+    CENTER coordinates (coarse-fit fallback), scores, and the INDEX pairs the
+    fine stage matches point-to-point inside."""
     la = np.asarray(out["log_assign"], np.float32)
     s = la.shape[0] - 1
     a = np.exp(la[:s, :s])
     a = a * src["mask"][:, None] * ref["mask"][None, :]
     flat = a.reshape(-1)
     order = np.argsort(-flat)[: top_pairs * 4]
-    src_pts, ref_pts, scores = [], [], []
+    src_pts, ref_pts, scores, idx_pairs = [], [], [], []
     seen_i, seen_j = set(), set()
     for f in order:
         i, j = divmod(int(f), s)
@@ -124,12 +138,48 @@ def extract_correspondences(out: dict, src: dict, ref: dict, top_pairs: int):
         src_pts.append(src["sp"][i])
         ref_pts.append(ref["sp"][j])
         scores.append(float(flat[f]))
+        idx_pairs.append((i, j))
         if len(src_pts) >= top_pairs:
             break
     if len(src_pts) < 3:
         return None
     return (np.asarray(src_pts, np.float32), np.asarray(ref_pts, np.float32),
-            np.asarray(scores, np.float32))
+            np.asarray(scores, np.float32),
+            np.asarray(idx_pairs, np.int32))
+
+
+def extract_fine_correspondences(fla: np.ndarray, idx_pairs: np.ndarray,
+                                 n_valid: int, src: dict, ref: dict,
+                                 score_thresh: float = 0.2):
+    """Dense point correspondences from the fine Sinkhorn (host numpy).
+
+    fla: [K, M+1, M+1] log assignments for the K padded superpoint pairs
+    (first ``n_valid`` real). Keeps mutual-argmax point pairs whose assignment
+    mass clears ``score_thresh``. Coordinates are the patches' ABSOLUTE
+    points. Returns (src_pts [C,3], ref_pts [C,3], scores [C]) or None."""
+    m = fla.shape[1] - 1
+    src_abs = src["patch"] + src["sp"][:, None, :]
+    ref_abs = ref["patch"] + ref["sp"][:, None, :]
+    out_s, out_r, out_w = [], [], []
+    for k in range(min(n_valid, len(fla))):
+        i, j = int(idx_pairs[k, 0]), int(idx_pairs[k, 1])
+        a = np.exp(fla[k][:m, :m].astype(np.float32))
+        a = a * src["pmask"][i][:, None] * ref["pmask"][j][None, :]
+        best_j = a.argmax(axis=1)
+        best_i = a.argmax(axis=0)
+        rows = np.arange(m)
+        w = a[rows, best_j]
+        keep = (best_i[best_j] == rows) & (w > score_thresh) & src["pmask"][i]
+        if not keep.any():
+            continue
+        out_s.append(src_abs[i][keep])
+        out_r.append(ref_abs[j][best_j[keep]])
+        out_w.append(w[keep])
+    if not out_s:
+        return None
+    return (np.concatenate(out_s).astype(np.float32),
+            np.concatenate(out_r).astype(np.float32),
+            np.concatenate(out_w).astype(np.float32))
 
 
 def _softmax(x, axis):
@@ -161,7 +211,9 @@ class LearnedBackend:
                  n_super: int = 128, patch_m: int = 32,
                  voxel_size: float = 0.05, max_points: int = 8192,
                  top_pairs: int = 24, inlier_thresh: float = 0.15,
-                 refine_icp: bool = True, seed: int = 0):
+                 refine_icp: bool = True, seed: int = 0,
+                 fine: bool = True, fine_score_thresh: float = 0.2,
+                 min_fine_corrs: int = 12):
         import jax
 
         if params is None and checkpoint is not None:
@@ -191,8 +243,15 @@ class LearnedBackend:
         self.inlier_thresh = inlier_thresh
         self.refine_icp = refine_icp
         self.seed = seed
+        self.fine = fine
+        self.fine_score_thresh = fine_score_thresh
+        self.min_fine_corrs = min_fine_corrs
         model = GeoRegModel(cfg)
         self._apply = jax.jit(partial(model.apply, {"params": params}))
+        from sgaligner_tpu.reg.geo_model import fine_log_assign
+
+        self._fine_assign = jax.jit(
+            partial(fine_log_assign, iters=cfg.sinkhorn_iters))
 
     def register(self, src_points: np.ndarray, ref_points: np.ndarray,
                  gt_transform: np.ndarray | None = None) -> dict | None:
@@ -209,7 +268,24 @@ class LearnedBackend:
         corr = extract_correspondences(out, src, ref, self.top_pairs)
         if corr is None:
             return None
-        src_c, ref_c, scores = corr
+        src_c, ref_c, scores, idx_pairs = corr
+
+        # fine stage: point-level Sinkhorn inside the matched patches gives
+        # DENSE correspondences (the structure the reference's evaluator
+        # consumes, registration_evaluator.py:104-108); the superpoint
+        # centers remain the fallback when too few points clear the bar
+        if self.fine:
+            n_valid = len(idx_pairs)
+            pad = np.zeros((self.top_pairs, 2), np.int32)
+            pad[:n_valid] = idx_pairs
+            fla = np.asarray(self._fine_assign(
+                out["src_pf"], out["ref_pf"], src["pmask"], ref["pmask"],
+                pad, out["fine_temp"], out["fine_alpha"]))
+            fine = extract_fine_correspondences(
+                fla, pad, n_valid, src, ref, self.fine_score_thresh)
+            if fine is not None and len(fine[0]) >= self.min_fine_corrs:
+                src_c, ref_c, scores = fine
+
         from sgaligner_tpu.reg.ransac import find_rigid_transform
 
         est, _ = find_rigid_transform(src_c, ref_c,

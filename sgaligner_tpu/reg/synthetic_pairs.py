@@ -69,8 +69,11 @@ def make_scene(rng: np.random.Generator, n_points: int = 4096,
 
 def make_pair(rng: np.random.Generator, n_points: int = 4096,
               overlap: float = 0.6, noise: float = 0.005,
-              max_angle_deg: float = 360.0, max_trans: float = 1.0):
-    """Returns (src [n,3], ref [m,3], gt_transform src->ref frame).
+              max_angle_deg: float = 360.0, max_trans: float = 1.0,
+              return_scene: bool = False):
+    """Returns (src [n,3], ref [m,3], gt_transform src->ref frame)
+    (+ the raw scene cloud in the ref frame when ``return_scene`` —
+    the "raw scan" role in the modified-chamfer metric).
 
     Crops two overlapping half-spaces of a scene; the SOURCE crop is expressed
     in its own (randomly transformed) frame; gt maps src coords to ref coords.
@@ -90,11 +93,14 @@ def make_pair(rng: np.random.Generator, n_points: int = 4096,
     src_world = scene[src_sel]
     if len(ref) < 64 or len(src_world) < 64:  # degenerate crop: retry
         return make_pair(rng, n_points, overlap, noise, max_angle_deg,
-                         max_trans)
+                         max_trans, return_scene)
     gt_inv = random_rigid(rng, max_angle_deg, max_trans)  # world -> src frame
     src = src_world @ gt_inv[:3, :3].T + gt_inv[:3, 3]
     src = src + rng.normal(size=src.shape).astype(np.float32) * noise
     ref = ref + rng.normal(size=ref.shape).astype(np.float32) * noise
     gt = np.linalg.inv(gt_inv)  # src frame -> world == ref frame
-    return (src.astype(np.float32), ref.astype(np.float32),
-            gt.astype(np.float32))
+    out = (src.astype(np.float32), ref.astype(np.float32),
+           gt.astype(np.float32))
+    if return_scene:
+        return out + (scene.astype(np.float32),)
+    return out

@@ -4,13 +4,14 @@ Trains on synthetic partial-overlap rigid pairs (reg/synthetic_pairs.py) —
 no external dataset/checkpoint, unlike the reference's GeoTransformer whose
 3DMatch checkpoint must be downloaded (registration_evaluator.py:24-27).
 
-Loss: SuperGlue-style negative log-likelihood over the Sinkhorn assignment —
-gt superpoint pairs (mutual-nearest under the gt transform within
-``match_radius``) are pulled up, unmatched real superpoints are supervised
-into the dustbin. Point-level precision is NOT learned: the backend
-(reg/learned.py) fits a coarse transform from the matched superpoint CENTERS
-and lets ICP recover voxel-level accuracy, so only the global association
-needs supervision.
+Loss: SuperGlue-style negative log-likelihood over the Sinkhorn assignments
+at BOTH levels — gt superpoint pairs (mutual-nearest under the gt transform
+within ``match_radius``) are pulled up and unmatched real superpoints are
+supervised into the dustbin (``matching_loss``); inside each gt-matched
+patch pair, gt POINT pairs (mutual-nearest within ``fine_radius``) supervise
+the fine per-point features the same way (``fine_matching_loss``). The
+backend (reg/learned.py) pools the dense fine correspondences into a RANSAC
+fit and lets ICP recover the last few millimeters.
 
 CLI: ``python -m sgaligner_tpu.reg.train_geo --steps 2000 --out runs/geo``
 (also scripts/train_registration.sh). The checkpoint directory is consumed by
@@ -49,6 +50,40 @@ def gt_superpoint_matches(src_sp, ref_sp, src_mask, ref_mask, gt,
     return pairs, src_un, ref_un
 
 
+def gt_fine_matches(src_abs, ref_abs, src_pmask, ref_pmask, pairs,
+                    gt, radius: float, fine_k: int):
+    """Point-level gt targets inside matched patches (host numpy).
+
+    For the first ``fine_k`` gt superpoint pairs, finds mutual-nearest point
+    pairs (under gt, within ``radius``) between the two patches' ABSOLUTE
+    points. Returns (fine_pairs [F,2] int32, fine_valid [F] bool,
+    fine_tgt [F,M] int32 with -1 = unmatched src point,
+    fine_ref_un [F,M] bool = valid-but-unmatched ref points)."""
+    m = src_abs.shape[1]
+    f = fine_k
+    fine_pairs = np.zeros((f, 2), np.int32)
+    fine_valid = np.zeros((f,), bool)
+    fine_tgt = np.full((f, m), -1, np.int32)
+    fine_ref_un = np.zeros((f, m), bool)
+    for k in range(min(len(pairs), f)):
+        i, j = int(pairs[k, 0]), int(pairs[k, 1])
+        sw = src_abs[i] @ gt[:3, :3].T + gt[:3, 3]
+        d = np.linalg.norm(sw[:, None, :] - ref_abs[j][None, :, :], axis=-1)
+        d = np.where(src_pmask[i][:, None] & ref_pmask[j][None, :], d, np.inf)
+        i_sr = d.argmin(axis=1)
+        i_rs = d.argmin(axis=0)
+        mutual = (i_rs[i_sr] == np.arange(m)) & src_pmask[i]
+        near = d[np.arange(m), i_sr] < radius
+        sel = mutual & near
+        fine_pairs[k] = (i, j)
+        fine_valid[k] = True
+        fine_tgt[k] = np.where(sel, i_sr, -1)
+        ru = ref_pmask[j].copy()
+        ru[i_sr[sel]] = False
+        fine_ref_un[k] = ru
+    return fine_pairs, fine_valid, fine_tgt, fine_ref_un
+
+
 def _prep_training_pair(rng, cfg_prep):
     from sgaligner_tpu.reg.learned import _prep_cloud
 
@@ -74,7 +109,14 @@ def _prep_training_pair(rng, cfg_prep):
     k = min(len(pairs), kmax)
     pmat[:k] = pairs[:k]
     pvalid[:k] = True
+    src_abs = src["patch"] + src["sp"][:, None, :]
+    ref_abs = ref["patch"] + ref["sp"][:, None, :]
+    fp, fv, ft, fru = gt_fine_matches(
+        src_abs, ref_abs, src["pmask"], ref["pmask"], pairs, gt,
+        cfg_prep["fine_radius"], cfg_prep["fine_k"])
     return {
+        "fine_pairs": fp, "fine_valid": fv, "fine_tgt": ft,
+        "fine_ref_un": fru,
         "src_sp": src["sp"], "ref_sp": ref["sp"],
         "src_inv": src["inv"], "ref_inv": ref["inv"],
         "src_eig": src["eig"], "ref_eig": ref["eig"],
@@ -102,6 +144,42 @@ def matching_loss(out, batch):
     return nll_pairs + 0.5 * nll_dust
 
 
+def fine_matching_loss(out, batch, iters: int = 20):
+    """NLL of the point-level Sinkhorn inside gt-matched patches.
+
+    Supervises the fine features (geo_model fine head): gt point pairs pulled
+    up, unmatched valid points on both sides pushed into the dustbin — the
+    same SuperGlue scheme as the coarse loss, one level down."""
+    import jax.numpy as jnp
+
+    from sgaligner_tpu.reg.geo_model import fine_log_assign
+
+    fla = fine_log_assign(out["src_pf"], out["ref_pf"],
+                          batch["src_pmask"], batch["ref_pmask"],
+                          batch["fine_pairs"], out["fine_temp"],
+                          out["fine_alpha"], iters)          # [F, M+1, M+1]
+    f, mp1, _ = fla.shape
+    m = mp1 - 1
+    tgt = batch["fine_tgt"]                                  # [F, M]
+    matched = (tgt >= 0) & batch["fine_valid"][:, None]
+    tgt_safe = jnp.where(matched, tgt, 0)
+    rows = jnp.take_along_axis(fla[:, :m, :], tgt_safe[..., None],
+                               axis=2)[..., 0]               # [F, M]
+    w = matched.astype(fla.dtype)
+    nll_pairs = -(rows * w).sum() / jnp.maximum(w.sum(), 1.0)
+    # dustbins: valid-but-unmatched src rows / ref cols of each gt pair
+    i_idx = batch["fine_pairs"][:, 0]
+    src_un = (batch["src_pmask"][i_idx] & ~matched
+              & batch["fine_valid"][:, None]).astype(fla.dtype)
+    ref_un = (batch["fine_ref_un"]
+              & batch["fine_valid"][:, None]).astype(fla.dtype)
+    nll_dust = (-(fla[:, :m, m] * src_un).sum()
+                / jnp.maximum(src_un.sum(), 1.0)
+                - (fla[:, m, :m] * ref_un).sum()
+                / jnp.maximum(ref_un.sum(), 1.0))
+    return nll_pairs + 0.5 * nll_dust
+
+
 def make_train_step(model, tx):
     """Jitted step over a BATCH of pairs (leading axis on every field,
     vmapped model+loss; the mean-NLL gradient is far less noisy than the
@@ -115,7 +193,7 @@ def make_train_step(model, tx):
                           batch["src_eig"], batch["ref_eig"],
                           batch["src_pmask"], batch["ref_pmask"],
                           batch["src_mask"], batch["ref_mask"])
-        return matching_loss(out, batch)
+        return matching_loss(out, batch) + fine_matching_loss(out, batch)
 
     def loss_fn(params, batch):
         losses = jax.vmap(partial(pair_loss, params))(batch)
@@ -144,13 +222,20 @@ def train(steps: int = 1000, seed: int = 0, lr: float = 3e-4,
           patch_m: int = 24, n_points: int = 2048, overlap: float = 0.6,
           voxel_size: float = 0.05, max_angle_deg: float = 360.0,
           max_trans: float = 1.0, batch_pairs: int = 8,
+          dataset_pairs: int = 0, dataset_cache: str | None = None,
           verbose: bool = True):
+    """``dataset_pairs > 0`` pregenerates that many pair-preps ONCE and trains
+    epochs over them (host synthesis at ~0.2 s/pair would otherwise dominate
+    every step on a 1-CPU host; a 2k-pair dataset costs ~7 min up front and
+    leaves the step device-bound). ``dataset_pairs=0`` streams fresh pairs.
+    ``dataset_cache`` persists/reuses the generated dataset as an .npz."""
     import jax
     import optax
 
     prep = {"n_super": n_super, "patch_m": patch_m, "n_points": n_points,
             "overlap": overlap, "voxel_size": voxel_size,
             "max_points": 8192, "match_radius": 3.0 * voxel_size,
+            "fine_radius": 1.5 * voxel_size, "fine_k": min(n_super, 32),
             "max_angle_deg": max_angle_deg, "max_trans": max_trans}
     rng = np.random.default_rng(seed)
     model = GeoRegModel(cfg)
@@ -168,27 +253,69 @@ def train(steps: int = 1000, seed: int = 0, lr: float = 3e-4,
     step = make_train_step(model, tx)
 
     losses = []
-    # host-side pair synthesis dominates the step (~0.4 s/pair); overlap it
-    # with the update via a thread-pool prefetch queue
-    from concurrent.futures import ThreadPoolExecutor
+    if dataset_pairs > 0:
+        import os
+        import time
 
-    with ThreadPoolExecutor(4) as pool:
-        def submit(i):
-            r = np.random.default_rng((seed, i))
-            return pool.submit(_stack_batch, r, prep, batch_pairs)
-
-        depth = 4
-        futures = [submit(i) for i in range(min(depth, steps))]
+        if dataset_cache and os.path.exists(dataset_cache):
+            with np.load(dataset_cache) as z:
+                data = {k: z[k] for k in z.files}
+            n_cached = len(data["src_sp"])
+            if n_cached < dataset_pairs:
+                raise ValueError(f"cache has {n_cached} < {dataset_pairs}")
+            if verbose:
+                print(f"dataset: {n_cached} cached pairs "
+                      f"({dataset_cache})", flush=True)
+        else:
+            t0 = time.perf_counter()
+            samples = []
+            for i in range(dataset_pairs):
+                r = np.random.default_rng((seed, i))
+                samples.append(_prep_training_pair(r, prep)[0])
+                if verbose and (i + 1) % 256 == 0:
+                    print(f"dataset {i + 1}/{dataset_pairs} pairs "
+                          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+            data = {k: np.stack([s[k] for s in samples])
+                    for k in samples[0]}
+            del samples
+            if dataset_cache:
+                np.savez(dataset_cache, **data)
         for i in range(steps):
-            batch = futures[i].result()
-            futures[i] = None
-            if i + depth < steps:
-                futures.append(submit(i + depth))
+            sel = rng.choice(dataset_pairs, batch_pairs,
+                             replace=dataset_pairs < batch_pairs)
+            batch = {k: v[sel] for k, v in data.items()}
             params, opt_state, loss = step(params, opt_state, batch)
             losses.append(float(loss))
             if verbose and (i % log_every == 0 or i == steps - 1):
                 print(f"step {i:5d}  loss "
                       f"{np.mean(losses[-log_every:]):.4f}", flush=True)
+            if out_dir and (i + 1) % 1000 == 0 and i + 1 < steps:
+                save_checkpoint(out_dir, params, prep, cfg)
+                if verbose:
+                    print(f"checkpoint @ step {i + 1} -> {out_dir}",
+                          flush=True)
+    else:
+        # streaming: overlap host synthesis with the update via a
+        # thread-pool prefetch queue
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(4) as pool:
+            def submit(i):
+                r = np.random.default_rng((seed, i))
+                return pool.submit(_stack_batch, r, prep, batch_pairs)
+
+            depth = 4
+            futures = [submit(i) for i in range(min(depth, steps))]
+            for i in range(steps):
+                batch = futures[i].result()
+                futures[i] = None
+                if i + depth < steps:
+                    futures.append(submit(i + depth))
+                params, opt_state, loss = step(params, opt_state, batch)
+                losses.append(float(loss))
+                if verbose and (i % log_every == 0 or i == steps - 1):
+                    print(f"step {i:5d}  loss "
+                          f"{np.mean(losses[-log_every:]):.4f}", flush=True)
 
     if out_dir:
         save_checkpoint(out_dir, params, prep, cfg)
@@ -226,11 +353,14 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default="runs/geo_reg")
     ap.add_argument("--n_super", type=int, default=64)
     ap.add_argument("--patch_m", type=int, default=24)
-    ap.add_argument("--overlap_lo", type=float, default=0.35)
+    ap.add_argument("--overlap_lo", type=float, default=0.2)
     ap.add_argument("--overlap_hi", type=float, default=0.8)
+    ap.add_argument("--dataset_pairs", type=int, default=2048)
+    ap.add_argument("--dataset_cache", type=str, default=None)
     args = ap.parse_args(argv)
     train(steps=args.steps, seed=args.seed, lr=args.lr, out_dir=args.out,
           n_super=args.n_super, patch_m=args.patch_m,
+          dataset_pairs=args.dataset_pairs, dataset_cache=args.dataset_cache,
           overlap=(args.overlap_lo, args.overlap_hi))
 
 

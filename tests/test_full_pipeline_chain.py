@@ -1,0 +1,145 @@
+"""ONE chained run of the reference's full workflow, raw scenes -> mosaicking.
+
+The reference's README workflow is a single chain
+(/root/reference/README.md:122-168): generate subscans -> preprocess ->
+filesets -> train -> inference (align+registration, overlap detection,
+mosaicking). Every link is tested in isolation elsewhere; THIS test runs the
+whole chain through the real CLIs on one workspace, asserting each stage
+consumes the previous stage's actual on-disk outputs — the directory
+contracts between stages are exactly where such pipelines rot (round-2
+review, missing #3).
+"""
+
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from sgaligner_tpu.cli.gen_filesets import main as filesets_main
+from sgaligner_tpu.cli.generate_subscans import main as subscans_main
+from sgaligner_tpu.cli.inference_align_reg import main as align_reg_main
+from sgaligner_tpu.cli.inference_find_overlapper import main as overlap_main
+from sgaligner_tpu.cli.inference_mosaicking import main as mosaick_main
+from sgaligner_tpu.cli.preprocess import main as preprocess_main
+from sgaligner_tpu.cli.trainval_sgaligner import main as trainval_main
+from sgaligner_tpu.data.fixtures import make_raw_scene_workspace
+
+
+def _cfg_text(raw_root, subscan_root, anchor_type_name=""):
+    return f"""
+seed: 42
+num_workers: 2
+model_name: 'sgaligner'
+modules: ['point', 'gat', 'rel', 'attr']
+registration: True
+scan_type: 'subscan'
+data:
+  name: Scan3R
+  root_dir: {raw_root}
+  subscan_dir: {subscan_root}
+preprocess:
+  pc_resolutions: [32]
+  min_obj_points: 30
+  subscenes_per_scene: 7
+  anchor_type_name: '{anchor_type_name}'
+train: {{batch_size: 2, pc_res: 32}}
+val: {{batch_size: 2, pc_res: 32}}
+optim: {{max_epoch: 1}}
+reg_model: {{ransac_max_iters: 200, num_p2p_corrs: 2000}}
+tpu: {{max_objects: 12, points_per_object: 32, dp: 1}}
+"""
+
+
+@pytest.fixture(scope="module")
+def chain(tmp_path_factory):
+    """Stages 1-5 of the chain (raw scenes -> trained snapshot), shared by the
+    three inference stage tests."""
+    tmp = tmp_path_factory.mktemp("chain")
+    raw_root = tmp / "scan3r"
+    sub_root = tmp / "subscans"
+    out_root = tmp / "out"
+
+    # stage 0: raw 3RScan-style scenes, one per split, ONE workspace
+    make_raw_scene_workspace(str(raw_root), split="train", n_scenes=1,
+                             seed=0, scene_offset=0)
+    make_raw_scene_workspace(str(raw_root), split="val", n_scenes=1,
+                             seed=1, scene_offset=1)
+
+    cfg_file = tmp / "cfg.yaml"
+    cfg_file.write_text(_cfg_text(raw_root, sub_root))
+
+    # stage 1: trajectory-carved subscans + overlap anchors, per split
+    for split in ("train", "val"):
+        assert subscans_main(["--config", str(cfg_file),
+                              "--split", split]) == 0
+        assert osp.exists(sub_root / "files" / f"anchors_{split}.json")
+
+    # stage 2: graph preprocessing consumes stage-1's subscans
+    for split in ("train", "val"):
+        assert preprocess_main(["--config", str(cfg_file), "--split", split,
+                                "--host_fps"]) == 0
+    data_dir = sub_root / "files" / "orig" / "data"
+    assert len(list(data_dir.glob("*.pkl"))) >= 4
+
+    # stage 3: filesets consume stage-1/2 outputs
+    assert filesets_main(["all_pairs", "--config", str(cfg_file),
+                          "--split", "val"]) == 0
+    assert filesets_main(["scan_subscan_map", "--config", str(cfg_file),
+                          "--split", "val"]) == 0
+    assert osp.exists(sub_root / "files" / "orig"
+                      / "anchors_subscan_anchors_w_wo_overlap_val.json")
+    assert osp.exists(sub_root / "files" / "orig"
+                      / "scan_subscan_map_val.json")
+
+    # stage 4-5: train one epoch + write snapshots from stage-2's pkls
+    assert trainval_main(["--config", str(cfg_file),
+                          "--output_root", str(out_root)]) == 0
+    snap_dir = (out_root / "output" / "Scan3R" / "sgaligner"
+                / "point_gat_rel_attr" / "snapshots")
+    assert (snap_dir / "snapshot").is_dir()
+
+    return {"cfg": str(cfg_file), "tmp": tmp, "raw": str(raw_root),
+            "sub": str(sub_root), "out": str(out_root)}
+
+
+def test_chain_align_reg(chain, capsys):
+    """Stage 6: alignment + registration inference from the chain's snapshot."""
+    rc = align_reg_main(["--config", chain["cfg"],
+                         "--output_root", chain["out"]])
+    assert rc == 0
+    results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= results["mrr"] <= 1.0
+    # chained subscans share the scene's world frame -> ~identity transform
+    normal = results["normal_registration"]
+    assert normal["RRE"] < 5.0 and normal["RTE"] < 0.10, normal
+    assert set(results["aligner_registration"]) == {
+        "CD", "IR", "RRE", "RTE", "recall", "FMR"}
+
+
+def test_chain_find_overlapper(chain, capsys):
+    """Stage 7: overlap detection on the stage-3 w/wo-overlap fileset."""
+    cfg_file = chain["tmp"] / "cfg_overlap.yaml"
+    cfg_file.write_text(_cfg_text(
+        chain["raw"], chain["sub"],
+        anchor_type_name="_subscan_anchors_w_wo_overlap"))
+    rc = overlap_main(["--config", str(cfg_file),
+                       "--output_root", chain["out"]])
+    assert rc == 0
+    results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("aligner_overlapper", "registration_overlapper"):
+        m = results[key]
+        assert set(m) == {"precision", "recall", "f1_score"}
+        assert 0.0 <= m["f1_score"] <= 1.0
+
+
+def test_chain_mosaicking(chain, capsys):
+    """Stage 8: mosaicking from the stage-3 scan->subscan map."""
+    rc = mosaick_main(["--config", chain["cfg"],
+                       "--output_root", chain["out"],
+                       "--max_scans", "1"])
+    assert rc == 0
+    results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    normal = results["normal_mosaicking_metrics"]
+    assert set(normal) == {"prec", "recall", "acc", "comp", "fscore"}
+    assert np.isfinite(normal["fscore"])

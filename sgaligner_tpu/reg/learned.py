@@ -272,8 +272,8 @@ class LearnedBackend:
 
         # fine stage: point-level Sinkhorn inside the matched patches gives
         # DENSE correspondences (the structure the reference's evaluator
-        # consumes, registration_evaluator.py:104-108); the superpoint
-        # centers remain the fallback when too few points clear the bar
+        # consumes, registration_evaluator.py:104-108)
+        fine = None
         if self.fine:
             n_valid = len(idx_pairs)
             pad = np.zeros((self.top_pairs, 2), np.int32)
@@ -283,23 +283,50 @@ class LearnedBackend:
                 pad, out["fine_temp"], out["fine_alpha"]))
             fine = extract_fine_correspondences(
                 fla, pad, n_valid, src, ref, self.fine_score_thresh)
-            if fine is not None and len(fine[0]) >= self.min_fine_corrs:
-                src_c, ref_c, scores = fine
+            if fine is not None and len(fine[0]) < self.min_fine_corrs:
+                fine = None
 
         from sgaligner_tpu.reg.ransac import find_rigid_transform
+        from sgaligner_tpu.utils.pointcloud import (apply_transform,
+                                                    get_nearest_neighbor)
 
-        est, _ = find_rigid_transform(src_c, ref_c,
-                                      threshold=self.inlier_thresh,
-                                      max_iters=1000, seed=self.seed)
-        if est is None:
-            est = weighted_kabsch(src_c, ref_c, scores)
-        if self.refine_icp:
-            from sgaligner_tpu.reg.icp import icp_refine_host
+        def fit_and_refine(pts_s, pts_r, w, thresh):
+            est, _ = find_rigid_transform(pts_s, pts_r, threshold=thresh,
+                                          max_iters=1000, seed=self.seed)
+            if est is None:
+                est = weighted_kabsch(pts_s, pts_r, w)
+            if self.refine_icp:
+                from sgaligner_tpu.reg.icp import icp_refine_host
 
-            est, _ = icp_refine_host(src["points"], ref["points"],
-                                     init_transform=est, iters=15,
-                                     max_corr_dist=6 * self.voxel_size,
-                                     seed=self.seed)
+                # coarse->fine trim schedule: a wide first pass pulls a
+                # decimeter-off init into the basin; the tight second pass
+                # stops non-overlap points from biasing the translation
+                for trim in (6.0, 2.0, 1.0):
+                    est, _ = icp_refine_host(
+                        src["points"], ref["points"], init_transform=est,
+                        iters=10, max_corr_dist=trim * self.voxel_size,
+                        seed=self.seed)
+            return est
+
+        def fit_score(est):
+            """Fraction of src points landing on ref within 2 voxels —
+            candidate verification (wrong-consensus fits score ~0)."""
+            moved = apply_transform(src["points"], est)
+            d = get_nearest_neighbor(moved, ref["points"])
+            return float((d < 2.0 * self.voxel_size).mean())
+
+        # candidate transforms: dense fine correspondences (tight RANSAC
+        # threshold — they are voxel-accurate) and superpoint centers (loose);
+        # keep whichever actually aligns the clouds best
+        candidates = []
+        if fine is not None:
+            f_thresh = max(1.5 * self.voxel_size, 0.075)
+            est_f = fit_and_refine(fine[0], fine[1], fine[2], f_thresh)
+            candidates.append((fit_score(est_f), est_f, fine))
+        est_c = fit_and_refine(src_c, ref_c, scores, self.inlier_thresh)
+        candidates.append((fit_score(est_c), est_c, (src_c, ref_c, scores)))
+        _, est, (src_c, ref_c, scores) = max(candidates, key=lambda c: c[0])
+
         return {
             "estimated_transform": est,
             "src_corr_points": src_c,

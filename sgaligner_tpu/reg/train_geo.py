@@ -336,11 +336,21 @@ def save_checkpoint(out_dir: str, params, prep: dict, cfg: GeoModelConfig):
 
 
 def load_checkpoint(out_dir: str):
+    """Device-agnostic restore: orbax pins the SAVING devices in its sharding
+    metadata, so a checkpoint written on the TPU would refuse to restore on a
+    CPU-only process — rebuild the target from shape/dtype metadata on the
+    current default device instead."""
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(out_dir, "geo_params"))
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path)
+        tree = ckptr.metadata(path).item_metadata
+        target = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding), tree)
+        return ckptr.restore(path, target)
 
 
 def main(argv=None):

@@ -129,3 +129,60 @@ tpu: {{max_objects: 12, dp: 1}}
     assert aligner["RRE"] < 1.0, aligner
     assert aligner["RTE"] < 0.03, aligner
     assert aligner["recall"] == 1.0, aligner
+
+
+def test_align_reg_cli_nonidentity_learned_backend(tmp_path, capsys):
+    """Dress rehearsal of the LEARNED registration engine through the real
+    CLI (round-2 review, do-this #6): ``reg_model.backend: learned`` wired
+    end-to-end — val pairs carry a 45 deg / 0.5 m transform, the backend runs
+    per-object (aligner path) AND whole-cloud (normal path), and the full
+    metric table the reference prints must come back with the transform
+    recovered."""
+    import os
+
+    import pytest
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "checkpoints", "geo_reg")
+    if not os.path.isdir(ckpt):
+        pytest.skip("pretrained geo_reg checkpoint not present")
+
+    from sgaligner_tpu.cli.inference_align_reg import main as align_reg_main
+    from sgaligner_tpu.cli.trainval_sgaligner import main as trainval_main
+
+    rng = np.random.default_rng(3)
+    gt = random_transform(rng, 45.0, 0.5)
+    root = tmp_path / "ws"
+    make_synthetic_workspace(str(root), split="train", n_pairs=4,
+                             pc_resolutions=[32], pts_per_obj=200, seed=0)
+    make_synthetic_workspace(str(root), split="val", n_pairs=1,
+                             pc_resolutions=[32], pts_per_obj=200, seed=10,
+                             ref_transform=gt)
+    cfg_text = f"""
+model_name: 'sgaligner'
+modules: ['rel', 'attr']
+registration: True
+data:
+  subscan_dir: {root}
+preprocess:
+  pc_resolutions: [32]
+train: {{batch_size: 2, pc_res: 32}}
+val: {{batch_size: 2, pc_res: 32}}
+optim: {{max_epoch: 1}}
+reg_model: {{backend: 'learned', ransac_max_iters: 500, num_p2p_corrs: 2000}}
+tpu: {{max_objects: 12, dp: 1}}
+"""
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(cfg_text)
+    out_root = tmp_path / "out"
+    assert trainval_main(["--config", str(cfg_file), "--output_root",
+                          str(out_root)]) == 0
+    assert align_reg_main(["--config", str(cfg_file), "--output_root",
+                           str(out_root)]) == 0
+    results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("normal_registration", "aligner_registration"):
+        m = results[key]
+        assert set(m) == {"CD", "IR", "RRE", "RTE", "recall", "FMR"}, m
+        assert m["RRE"] < 5.0, (key, m)
+        assert m["RTE"] < 0.10, (key, m)
+        assert m["recall"] == 1.0, (key, m)

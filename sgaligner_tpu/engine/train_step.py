@@ -99,6 +99,41 @@ def make_train_step(model, tx, modules: tuple[str, ...], kind: str = "overall",
     return train_step
 
 
+def make_serving_step(model, modules: tuple[str, ...],
+                      ks: tuple[int, ...] = (1, 2, 3, 4, 5),
+                      with_sim: bool = False):
+    """Inference-only program: forward -> joint sim matrices -> rank/metric
+    components. No loss computation, no batch-stat plumbing, no dropout —
+    the alignment-serving path (scripts/bench_serving.py measures it; pair it
+    with a device-side batch queue to amortize dispatch overhead)."""
+
+    @jax.jit
+    def serving_step(params, batch_stats, batch) -> dict:
+        embs, _ = _apply_model(model, params["model"], batch_stats, batch,
+                               train=False, rng=None)
+        key = "joint" if len(modules) > 1 else modules[0]
+        b, two_n = batch["obj_mask"].shape
+        emb = embs[key].reshape(b, two_n, -1)
+        sim = M.cosine_sim_matrix(emb, batch["obj_mask"])
+        ranks, mask = M.anchor_ranks(sim, batch["e1i"], batch["e2i"],
+                                     batch["anchor_mask"])
+        rr_sum, rr_count = M.mrr_from_ranks(ranks, mask)
+        hits = M.hits_at_k_from_ranks(ranks, mask, ks)
+        out = {
+            "rr_sum": rr_sum,
+            "rr_count": rr_count,
+            "alignment_score": M.alignment_score(
+                sim, batch["n_src"], batch["n_ref"], two_n // 2),
+        }
+        if with_sim:
+            out["sim"] = sim
+        for k, (correct, total) in hits.items():
+            out[f"hits@{k}"] = (correct, total)
+        return out
+
+    return serving_step
+
+
 def make_eval_step(model, modules: tuple[str, ...], kind: str = "overall",
                    zoom: float = 0.1, ks: tuple[int, ...] = (1, 2, 3, 4, 5),
                    with_sim: bool = False):

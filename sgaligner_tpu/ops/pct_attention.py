@@ -294,11 +294,13 @@ def _mask_rows(m_ref, start: int, t: int, acc):
     The mask cannot ride in VMEM blocks: a [T, 1] block violates the (8, 128)
     block-shape rule for T < 8, and a dynamic sublane slice of a whole-array
     ref needs 8-aligned offsets. SMEM scalar reads have no such constraints;
-    T <= 8 selects are negligible."""
+    T <= 8 selects are negligible. The SMEM array is LANE-major [1, O]:
+    each SMEM *row* pads to 512 bytes, so a [O, 1] layout blows the 1 MB
+    SMEM cap at O >= 2048 (hit at B=128 pooled serving; measured)."""
     rowi = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
     m2 = jnp.zeros((t, 1), acc)
     for j in range(t):
-        m2 = jnp.where(rowi == j, m_ref[start + j, 0].astype(acc), m2)
+        m2 = jnp.where(rowi == j, m_ref[0, start + j].astype(acc), m2)
     return m2
 
 
@@ -468,7 +470,7 @@ def pct_block_fused(x, wqk, wv, bv, wt, bt, mask,
         ],
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(x, wqk, wv, bv[None], wt, bt[None], mask.astype(jnp.float32))
+    )(x, wqk, wv, bv[None], wt, bt[None], mask.astype(jnp.float32).reshape(1, -1))
 
 
 def _block_fwd_rule(x, wqk, wv, bv, wt, bt, mask, scale, double_norm,
@@ -528,7 +530,7 @@ def _block_bwd_rule(scale, double_norm, interpret, residuals, cts):
         ],
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(x, wqk, wv, bv[None], wt, bt[None], mask.astype(jnp.float32),
+    )(x, wqk, wv, bv[None], wt, bt[None], mask.astype(jnp.float32).reshape(1, -1),
       dt_out, dsum, dsumsq)
     dx, dwqk, dwv, dbv, dwt, dbt = grads
     return (dx, dwqk.astype(wqk.dtype), dwv.astype(wv.dtype),

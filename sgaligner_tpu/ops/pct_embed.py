@@ -142,7 +142,7 @@ def embed_first_fused(x_cf, w, mask, interpret=False):
             jax.ShapeDtypeStruct((1, c), acc),
         ],
         interpret=interpret,
-    )(x_cf, w, mask.astype(jnp.float32))
+    )(x_cf, w, mask.astype(jnp.float32).reshape(1, -1))
 
 
 def _e1_fwd_rule(x_cf, w, mask, interpret):
@@ -182,7 +182,7 @@ def _e1_bwd_rule(interpret, residuals, cts):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, c), acc),
         interpret=interpret,
-    )(x_cf, w, mask.astype(jnp.float32), dh, ds1, ds2)
+    )(x_cf, w, mask.astype(jnp.float32).reshape(1, -1), dh, ds1, ds2)
     return jnp.zeros_like(x_cf), dw.astype(w.dtype), jnp.zeros_like(mask)
 
 
@@ -295,7 +295,7 @@ def embed_second_fused(h0, wf, bf, w, mask, interpret=False):
             jax.ShapeDtypeStruct((1, c2), acc),
         ],
         interpret=interpret,
-    )(h0, wf, bf, w, mask.astype(jnp.float32))
+    )(h0, wf, bf, w, mask.astype(jnp.float32).reshape(1, -1))
 
 
 def _e2_fwd_rule(h0, wf, bf, w, mask, interpret):
@@ -345,7 +345,7 @@ def _e2_bwd_rule(interpret, residuals, cts):
             jax.ShapeDtypeStruct((c, c2), acc),
         ],
         interpret=interpret,
-    )(h0, wf, bf, w, mask.astype(jnp.float32), dh, ds1, ds2)
+    )(h0, wf, bf, w, mask.astype(jnp.float32).reshape(1, -1), dh, ds1, ds2)
     dh0, dwf, dbf, dw = grads
     return (dh0, dwf.astype(wf.dtype), dbf.astype(bf.dtype),
             dw.astype(w.dtype), jnp.zeros_like(mask))

@@ -130,3 +130,41 @@ def test_dp8_matches_dp1():
             state, metrics = step(state, sharded)
         results[dp] = float(metrics["loss"])
     np.testing.assert_allclose(results[1], results[8], rtol=1e-4)
+
+
+def test_serving_step_matches_eval_metrics():
+    """make_serving_step (inference-only, no loss) must produce the same
+    rank-metric components as the full eval step."""
+    import optax
+
+    from sgaligner_tpu.data.batch import BatchSpec
+    from sgaligner_tpu.data.synthetic import make_synthetic_batch
+    from sgaligner_tpu.engine.factory import build_model
+    from sgaligner_tpu.engine.train_step import (create_train_state,
+                                                 make_eval_step,
+                                                 make_serving_step)
+    from sgaligner_tpu.core.config import make_cfg
+    from sgaligner_tpu.ops.objective import init_loss_params
+
+    cfg = make_cfg(model_name="sgaligner",
+                   modules=["point", "gat", "rel", "attr"])
+    cfg.tpu.max_objects = 8
+    cfg.tpu.points_per_object = 16
+    spec = BatchSpec(batch_size=2, max_objects=8, points_per_object=16)
+    batch = {k: np.asarray(v)
+             for k, v in make_synthetic_batch(spec, seed=11).items()}
+    model = build_model(cfg, platform="cpu")
+    state = create_train_state(model, optax.adam(1e-3), batch,
+                               init_loss_params(4), jax.random.key(0))
+    ev = make_eval_step(model, tuple(cfg.modules))(
+        state.params, state.batch_stats, batch)
+    sv = make_serving_step(model, tuple(cfg.modules))(
+        state.params, state.batch_stats, batch)
+    assert "loss" not in sv
+    np.testing.assert_allclose(np.asarray(sv["rr_sum"]),
+                               np.asarray(ev["rr_sum"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sv["alignment_score"]),
+                               np.asarray(ev["alignment_score"]), rtol=1e-6)
+    for k in (1, 5):
+        np.testing.assert_array_equal(np.asarray(sv[f"hits@{k}"]),
+                                      np.asarray(ev[f"hits@{k}"]))

@@ -47,11 +47,20 @@ def _use_fused(flag: str) -> bool:
 
 def _fused_block(x, mask, train, channels: int, dtype,
                  scale: bool, double_norm: bool) -> jnp.ndarray:
-    """The whole SA/OA block via the block-fused Pallas op: attention +
-    trans projection + masked BN partial sums in one kernel; BN-fold +
-    residual + relu is the single remaining XLA pass. Must be called from
-    inside the module's compact scope (creates its params)."""
-    from sgaligner_tpu.ops.pct_attention import pct_block_fused
+    """The whole SA/OA block via fused Pallas ops. Must be called from
+    inside the module's compact scope (creates its params).
+
+    TRAIN: one custom-VJP op (``pct_block_residual``) covers attention +
+    trans + masked BN partial sums + batch-stat fold + relu/residual
+    epilogue — its backward derives the epilogue routing in-VMEM, so the
+    dt cotangent and the residual-add never hit HBM as separate XLA passes.
+    The BN module is consulted for its (scale, bias) params up front and for
+    the running-stat update afterwards.
+
+    EVAL: block kernel + fold from running stats + one XLA epilogue fusion
+    (no backward exists to optimize)."""
+    from sgaligner_tpu.ops.pct_attention import (pct_block_fused,
+                                                 pct_block_residual)
 
     da = channels // 4
     wqk, _ = _DenseParams(channels, da, use_bias=False, name="qk")()
@@ -61,6 +70,22 @@ def _fused_block(x, mask, train, channels: int, dtype,
 
     p_pts = x.shape[1]
     kmask = mask.astype(dtype)[:, None]
+    bn = MaskedBatchNorm(channels, name="after_norm")
+    if train:
+        count = jnp.maximum(mask.astype(jnp.float32).sum() * p_pts, 1.0)
+        bn_scale, bn_bias = bn(x, mask[:, None], train, return_params=True)
+        x_next, ssum, ssumsq = pct_block_residual(
+            x.astype(dtype), wqk.astype(dtype), wv.astype(dtype),
+            bv.astype(dtype), wt.astype(dtype), bt.astype(dtype),
+            bn_scale, bn_bias, kmask, count,
+            scale, double_norm, bn.epsilon, interpret)
+        # running-stat update only (the op already applied the fold)
+        mean = ssum[0] / count
+        var = jnp.maximum(ssumsq[0] / count - jnp.square(mean), 0.0)
+        bn(x, mask[:, None], train, moments=(mean, var, count),
+           return_fold=True)
+        return x_next
+
     t_out, ssum, ssumsq = pct_block_fused(
         x.astype(dtype), wqk.astype(dtype), wv.astype(dtype),
         bv.astype(dtype), wt.astype(dtype), bt.astype(dtype), kmask,
@@ -68,9 +93,8 @@ def _fused_block(x, mask, train, channels: int, dtype,
     count = jnp.maximum(mask.astype(jnp.float32).sum() * p_pts, 1.0)
     mean = ssum[0] / count
     var = jnp.maximum(ssumsq[0] / count - jnp.square(mean), 0.0)
-    wbn, bbn = MaskedBatchNorm(channels, name="after_norm")(
-        t_out, mask[:, None], train, moments=(mean, var, count),
-        return_fold=True)
+    wbn, bbn = bn(t_out, mask[:, None], train, moments=(mean, var, count),
+                  return_fold=True)
     normed = t_out * wbn.astype(t_out.dtype) + bbn.astype(t_out.dtype)
     return x + nn.relu(normed)
 
@@ -85,20 +109,28 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool,
-                 moments: tuple | None = None, return_fold: bool = False):
+                 moments: tuple | None = None, return_fold: bool = False,
+                 return_params: bool = False):
         """x: [..., C]; mask broadcastable to x[..., 0] (True = valid).
 
         ``moments=(mean, var, count)`` (f32, per-channel) skips the stats
         pass over x — used by the fused-tail path, where the kernel already
         reduced the masked sums. ``return_fold=True`` returns the folded
         per-channel affine ``(w, b)`` instead of applying it (x is then only
-        consulted for its dtype)."""
+        consulted for its dtype). ``return_params=True`` returns the raw
+        ``(scale, bias)`` parameters without touching statistics — the
+        whole-block fused training op (ops/pct_attention.py::
+        pct_block_residual) computes the fold internally from its kernel's
+        sums; a second call with ``moments=`` then performs the running-stat
+        update."""
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(self.features, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(self.features, jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (self.features,), self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
+        if return_params:
+            return scale, bias
 
         if moments is not None and train:
             mean, var, count = moments

@@ -539,3 +539,280 @@ def _block_bwd_rule(scale, double_norm, interpret, residuals, cts):
 
 
 pct_block_fused.defvjp(_block_fwd_rule, _block_bwd_rule)
+
+
+# --------------------------------------------------------------------------
+# Whole-block training op: block + batch-stat BN fold + relu/residual
+# epilogue in ONE custom VJP. The plain composition (pct_block_fused + XLA
+# epilogue) pays ~1 ms/block of separate backward passes: XLA lowers the
+# epilogue backward to a dt materialization pass, a per-channel reduction
+# pass, and a residual-add pass — all over [O, P, C] arrays. Here the
+# backward is two kernels: a reduction pass for the fold gradients (which
+# MUST complete before dx — BN backward is inherently two-pass), and the
+# existing block backward extended to derive the epilogue routing in-VMEM
+# from the recomputed t_out (dt never exists in HBM; the residual add rides
+# the dx write).
+# --------------------------------------------------------------------------
+
+
+def _fold_from_sums(bn_scale, bn_bias, ssum, ssumsq, count, eps):
+    """EXACT MaskedBatchNorm train-mode fold math (models/pct.py) from the
+    kernel's masked sums: w = scale/sqrt(var+eps), b = bias - mean*w."""
+    sdt = jnp.promote_types(bn_scale.dtype, jnp.float32)
+    mean = ssum[0].astype(sdt) / count
+    var = jnp.maximum(ssumsq[0].astype(sdt) / count - jnp.square(mean), 0.0)
+    w = bn_scale.astype(sdt) / jnp.sqrt(var + eps)
+    b = bn_bias.astype(sdt) - mean * w
+    return w, b
+
+
+def _epi_sums_kernel(t_ref, wbn_ref, bbn_ref, dy_ref, dw_ref, db_ref,
+                     *, t: int, p: int):
+    """Fold-gradient reductions: dwbn = Σ g·t_out, dbbn = Σ g with
+    g = dy·1{t_out·w + b > 0} — one pass over (t_out, dy)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    c = t_ref.shape[-1]
+    t2 = t_ref[:].reshape(t * p, c)
+    acc = dw_ref.dtype
+    normed = t2 * wbn_ref[:].astype(t2.dtype) + bbn_ref[:].astype(t2.dtype)
+    # f32 compare: Mosaic rejects bf16 vector compares (cast is exact)
+    g = jnp.where(normed.astype(acc) > 0,
+                  dy_ref[:].reshape(t * p, c).astype(acc), 0.0)
+    dw_ref[:] += jnp.sum(g * t2.astype(acc), axis=0)[None]
+    db_ref[:] += jnp.sum(g, axis=0)[None]
+
+
+def _pick_tile_epi(o: int, p: int, c: int, itemsize: int) -> int | None:
+    per = p * c * (2 * itemsize + 8)
+    for t in (16, 8, 4, 2, 1):
+        if o % t == 0 and t * per <= 12 * 2**20:
+            return t
+    return None
+
+
+def _block_res_bwd_kernel(x_ref, wqk_ref, wv_ref, bv_ref, wt_ref, bt_ref,
+                          m_ref, dxn_ref, wbn_ref, bbn_ref,
+                          dsum_ref, dsumsq_ref,
+                          dx_ref, dwqk_ref, dwv_ref, dbv_ref, dwt_ref,
+                          dbt_ref, *, scale, double_norm, oa):
+    """_block_bwd_kernel with the epilogue backward derived in-VMEM: instead
+    of a dt cotangent, takes the NEXT layer's dxn + the fold (wbn, bbn) and
+    recomputes the relu routing from the recomputed t_out; the residual add
+    rides the dx write."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for ref in (dwqk_ref, dwv_ref, dbv_ref, dwt_ref, dbt_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    x = x_ref[:]
+    f32 = _acc_dtype(x.dtype)
+    t, p, c = x.shape
+    x2 = x.reshape(t * p, c)
+
+    # recompute forward through the core (with vjp) and trans
+    q, v = _project(x, wqk_ref[:], wv_ref[:], bv_ref[:], scale)
+    core = partial(_attn_core, scale=scale, double_norm=double_norm)
+    y, vjp = jax.vjp(core, q, v)
+    y = y.astype(x.dtype)
+    u = (x - y) if oa else y
+    u2 = u.reshape(t * p, c)
+    t_out = (jax.lax.dot_general(u2, wt_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+             + bt_ref[:].astype(f32)).astype(x.dtype)        # [T*P, C]
+
+    # epilogue backward in-VMEM: dt = dxn·1{t_out·w+b > 0}·w
+    dxn2 = dxn_ref[:].reshape(t * p, c)
+    normed = t_out * wbn_ref[:].astype(x.dtype) + bbn_ref[:].astype(x.dtype)
+    g = jnp.where(normed.astype(f32) > 0, dxn2.astype(f32), 0.0)
+    dt3 = (g * wbn_ref[:].astype(f32)).reshape(t, p, c)
+
+    # dz = dt + mask·(dssum + 2 t_out dssumsq)   (BN batch-stat path)
+    m2 = _mask_rows(m_ref, i * t, t, f32)                       # [T, 1]
+    a1 = m2 * dsum_ref[:].astype(f32)                           # [T, C]
+    a2 = m2 * dsumsq_ref[:].astype(f32)                         # [T, C]
+    dz3 = (dt3 + a1[:, None, :]
+           + 2.0 * t_out.reshape(t, p, c).astype(f32) * a2[:, None, :])
+    dz = dz3.reshape(t * p, c).astype(x.dtype)
+
+    # through trans
+    dwt_ref[:] += jax.lax.dot_general(u2, dz, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+    dbt_ref[:] += dz.astype(f32).sum(axis=0, keepdims=True)
+    du = jax.lax.dot_general(dz, wt_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dy = (-du if oa else du).reshape(t, p, c)
+
+    # through the attention core + projections
+    dq, dv = vjp(dy.astype(f32))
+    dq2 = dq.reshape(t * p, -1)
+    dv2 = dv.reshape(t * p, c)
+    wqk_s = _qk_scale(wqk_ref[:], scale)
+    s = (jnp.asarray(float(wqk_s.shape[-1]) ** -0.25, f32)
+         if scale else jnp.asarray(1.0, f32))
+    dwqk_ref[:] += s * jax.lax.dot_general(x2, dq2, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=f32)
+    dwv_ref[:] += jax.lax.dot_general(x2, dv2, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+    dbv_ref[:] += dv2.sum(axis=0, keepdims=True)
+    dx2 = (jax.lax.dot_general(dq2, wqk_s, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+           + jax.lax.dot_general(dv2, wv_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32))
+    if oa:  # u = x - y: dx gets +du directly
+        dx2 = dx2 + du
+    # residual: x_next = x + relu(...), so dx += dxn (absorbed into the write)
+    dx_ref[:] = (dx2 + dxn2.astype(f32)).reshape(t, p, c).astype(dx_ref.dtype)
+
+
+def _block_residual_ref(x, wqk, wv, bv, wt, bt, bn_scale, bn_bias, mask,
+                        count, scale, double_norm, eps):
+    """Unfused reference composition (fallback autodiff path)."""
+    t_out, ssum, ssumsq = _block_unfused(x, wqk, wv, bv, wt, bt, mask,
+                                         scale, double_norm, oa=double_norm)
+    w, b = _fold_from_sums(bn_scale, bn_bias, ssum, ssumsq, count, eps)
+    x_next = x + jax.nn.relu(t_out * w.astype(t_out.dtype)
+                             + b.astype(t_out.dtype))
+    return x_next, ssum, ssumsq
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def pct_block_residual(x, wqk, wv, bv, wt, bt, bn_scale, bn_bias, mask,
+                       count, scale=True, double_norm=False, eps=1e-5,
+                       interpret=False):
+    """Training-mode SA/OA block INCLUDING the batch-stat BN fold and the
+    relu + residual epilogue. Returns ``(x_next, ssum, ssumsq)`` — the caller
+    derives moments from the sums for the running-stat update only.
+
+    mask: [O, 1] (1.0 = valid, x dtype); count: f32 scalar = valid rows
+    (mask.sum() * P) — must match MaskedBatchNorm's count so the fold is
+    bit-identical to the unfused path.
+    """
+    t_out, ssum, ssumsq = pct_block_fused(x, wqk, wv, bv, wt, bt, mask,
+                                          scale, double_norm, interpret)
+    w, b = _fold_from_sums(bn_scale, bn_bias, ssum, ssumsq, count, eps)
+    x_next = x + jax.nn.relu(t_out * w.astype(t_out.dtype)
+                             + b.astype(t_out.dtype))
+    return x_next, ssum, ssumsq
+
+
+def _block_res_fwd_rule(x, wqk, wv, bv, wt, bt, bn_scale, bn_bias, mask,
+                        count, scale, double_norm, eps, interpret):
+    t_out, ssum, ssumsq = pct_block_fused(x, wqk, wv, bv, wt, bt, mask,
+                                          scale, double_norm, interpret)
+    w, b = _fold_from_sums(bn_scale, bn_bias, ssum, ssumsq, count, eps)
+    x_next = x + jax.nn.relu(t_out * w.astype(t_out.dtype)
+                             + b.astype(t_out.dtype))
+    return (x_next, ssum, ssumsq), (x, wqk, wv, bv, wt, bt, bn_scale,
+                                    bn_bias, mask, count, t_out, ssum, ssumsq)
+
+
+def _block_res_bwd_rule(scale, double_norm, eps, interpret, residuals, cts):
+    (x, wqk, wv, bv, wt, bt, bn_scale, bn_bias, mask, count,
+     t_out, ssum, ssumsq) = residuals
+    dxn, dsum_ct, dsumsq_ct = cts
+    o, p, c = x.shape
+    da = wqk.shape[1]
+    f32 = _acc_dtype(x.dtype)
+    tb = _block_pick_tile(o, p, c, da, x.dtype.itemsize, bwd=True)
+    te = _pick_tile_epi(o, p, c, x.dtype.itemsize)
+    if tb is None or te is None or f32 != jnp.float32:
+        # pure-jax fallback (also the f64 x64 parity path)
+        def ref_fn(x, wqk, wv, bv, wt, bt, bn_scale, bn_bias):
+            outs = _block_residual_ref(x, wqk, wv, bv, wt, bt, bn_scale,
+                                       bn_bias, mask, count, scale,
+                                       double_norm, eps)
+            return sum((a.astype(f32) * b_.astype(f32)).sum()
+                       for a, b_ in zip(outs, cts))
+        grads = jax.grad(ref_fn, argnums=tuple(range(8)))(
+            x, wqk, wv, bv, wt, bt, bn_scale, bn_bias)
+        return (*grads, jnp.zeros_like(mask), jnp.zeros_like(count))
+
+    fold = partial(_fold_from_sums, count=count, eps=eps)
+    (wbn, bbn), fold_vjp = jax.vjp(
+        lambda s_, b_, ss, sq: fold(s_, b_, ss, sq), bn_scale, bn_bias,
+        ssum, ssumsq)
+    wrow = wbn.astype(jnp.float32).reshape(1, c)
+    brow = bbn.astype(jnp.float32).reshape(1, c)
+    mrow = mask.astype(jnp.float32).reshape(1, -1)
+
+    # pass A: fold-gradient reductions over (t_out, dxn)
+    dwbn, dbbn = pl.pallas_call(
+        partial(_epi_sums_kernel, t=te, p=p),
+        grid=(o // te,),
+        in_specs=[
+            pl.BlockSpec((te, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((te, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, c), jnp.float32)] * 2,
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(t_out, wrow, brow, dxn)
+    d_scale, d_bias, dssum_f, dssumsq_f = fold_vjp(
+        (dwbn[0].astype(wbn.dtype), dbbn[0].astype(bbn.dtype)))
+    dsum_tot = (dssum_f.astype(jnp.float32)
+                + dsum_ct.astype(jnp.float32))
+    dsumsq_tot = (dssumsq_f.astype(jnp.float32)
+                  + dsumsq_ct.astype(jnp.float32))
+
+    # pass B: extended block backward
+    grads = pl.pallas_call(
+        partial(_block_res_bwd_kernel, scale=scale, double_norm=double_norm,
+                oa=double_norm),
+        grid=(o // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)],
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, da), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((o, p, c), x.dtype),
+            jax.ShapeDtypeStruct((c, da), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ],
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(x, wqk, wv, bv[None], wt, bt[None], mrow, dxn, wrow, brow,
+      dsum_tot, dsumsq_tot)
+    dx, dwqk, dwv, dbv, dwt, dbt = grads
+    return (dx, dwqk.astype(wqk.dtype), dwv.astype(wv.dtype),
+            dbv[0].astype(bv.dtype), dwt.astype(wt.dtype),
+            dbt[0].astype(bt.dtype), d_scale, d_bias,
+            jnp.zeros_like(mask), jnp.zeros_like(count))
+
+
+pct_block_residual.defvjp(_block_res_fwd_rule, _block_res_bwd_rule)

@@ -114,6 +114,10 @@ def _bwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
     amax = jnp.argmax(zf, axis=1).astype(jnp.int32)     # [T, K]
     amin = jnp.argmin(zf, axis=1).astype(jnp.int32)
     pt = jax.lax.broadcasted_iota(jnp.int32, (t, p, k), 1)
+    # NOTE: g must stay f32 — building it in bf16 halves the live set but the
+    # i1 predicate of the iota-compare is (8,128)-tiled and Mosaic cannot
+    # relayout it to bf16's packed (16,128) select ("Invalid relayout",
+    # measured round 3)
     g = jnp.where(pt == amax[:, None, :],
                   dpmax_ref[:].astype(acc)[:, None, :], 0.0)
     g += jnp.where(pt == amin[:, None, :],
@@ -124,6 +128,9 @@ def _bwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
     m2 = m_ref[:].astype(acc)                                  # [T, 1]
     a1 = m2 * dsum_ref[:].astype(acc)                          # [T, K]
     a2 = m2 * dsumsq_ref[:].astype(acc)                        # [T, K]
+    # (computing z·a2 in bf16 before the f32 add measured step-NEUTRAL —
+    # Mosaic already keeps the f32 product out of the live-set peak; the f32
+    # form is kept for one less rounding in the gradient)
     g += a1[:, None, :] + 2.0 * z3.astype(acc) * a2[:, None, :]
     g2 = g.reshape(t * p, k).astype(dt)
 

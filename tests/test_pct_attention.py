@@ -110,14 +110,19 @@ def test_fused_attention_odd_object_count():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_oa_block_fused_train_mode_stats_parity():
-    """OABlock fused vs unfused in TRAIN mode: the block-fused kernel's
-    in-kernel BN partial sums must reproduce the unfused masked batch-stats
+import pytest
+
+
+@pytest.mark.parametrize("cls", [OABlock, SABlock])
+def test_oa_block_fused_train_mode_stats_parity(cls):
+    """SA/OA block fused vs unfused in TRAIN mode: the whole-block training
+    op (pct_block_residual — kernel sums, internal batch-stat fold, in-VMEM
+    epilogue backward) must reproduce the unfused masked batch-stats
     (values, running-stat updates and param grads)."""
     x = _rand((4, 16, 128), 13)
     mask = jnp.array([True, True, True, False])
-    never = OABlock(128, fused="never")
-    always = OABlock(128, fused="always")
+    never = cls(128, fused="never")
+    always = cls(128, fused="always")
     params = never.init(jax.random.key(0), x, mask, train=False)
 
     out_n, mut_n = never.apply(params, x, mask, train=True,

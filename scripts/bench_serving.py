@@ -16,7 +16,12 @@ The serving step is ``make_serving_step`` (engine/train_step.py): forward +
 joint-embedding sim matrices + rank/metric components, NO loss computation
 and NO batch-stat plumbing.
 
-Usage: python scripts/bench_serving.py [--batch 64] [--queue 8] [--modules pct]
+With ``--dp N`` the queue is built from per-shard pooled batches and the
+pair axis is sharded over an N-device mesh (GSPMD serving; on this box only
+dp=1 is measurable — one real chip — but the same path is dp=8-tested on the
+virtual CPU mesh, tests/test_serving.py).
+
+Usage: python scripts/bench_serving.py [--batch 64] [--queue 8] [--modules pct] [--dp 1]
 """
 
 from __future__ import annotations
@@ -30,11 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(modules, batch_size, bucket):
+def build(modules, batch_size, bucket, dp=1):
     import optax
 
     from sgaligner_tpu.core.config import make_cfg
-    from sgaligner_tpu.data.batch import BatchSpec, pool_compact
+    from sgaligner_tpu.data.batch import (BatchSpec, pool_compact,
+                                          pool_compact_sharded)
     from sgaligner_tpu.data.synthetic import make_synthetic_batch
     from sgaligner_tpu.engine.factory import build_model
     from sgaligner_tpu.engine.train_step import (create_train_state,
@@ -51,6 +57,8 @@ def build(modules, batch_size, bucket):
     def make(seed):
         host = {k: np.asarray(v)
                 for k, v in make_synthetic_batch(spec, seed=seed).items()}
+        if dp > 1:
+            return pool_compact_sharded(host, bucket=bucket, dp=dp)
         return pool_compact(host, bucket=bucket)
 
     model = build_model(cfg)
@@ -59,12 +67,19 @@ def build(modules, batch_size, bucket):
                                init_loss_params(len(modules)),
                                jax.random.key(0))
     step = make_serving_step(model, tuple(modules))
-    return state, step, make
+    return model, state, step, make
 
 
 def bench(modules=("pct", "gat", "rel", "attr"), batch_size=64, queue=8,
-          bucket=128, reps=4):
-    state, step, make = build(modules, batch_size, bucket)
+          bucket=128, reps=4, dp=1):
+    from sgaligner_tpu.data.batch import stack_queue
+    from sgaligner_tpu.engine.train_step import make_serving_queue
+    from sgaligner_tpu.parallel.mesh import make_mesh, replicated, shard_queue
+
+    model, state, step, make = build(modules, batch_size, bucket, dp=dp)
+    mesh = make_mesh(dp) if dp > 1 else None
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
 
     # --- per-dispatch path
     b = {k: jax.device_put(v) for k, v in make(1).items()}
@@ -80,45 +95,29 @@ def bench(modules=("pct", "gat", "rel", "attr"), batch_size=64, queue=8,
             "pairs_per_sec": round(batch_size / t_best, 1)}
 
     # --- queued path: scan over `queue` DISTINCT stacked batches
+    # (engine/train_step.py::make_serving_queue — the first-class API)
     batches = [make(100 + i) for i in range(queue)]
-    # bucket sizes can differ per batch; pad the pooled axis to the max K
-    kmax = max(bb["obj_points_pooled"].shape[0] for bb in batches)
-    for bb in batches:
-        k = bb["obj_points_pooled"].shape[0]
-        if k < kmax:
-            pad = kmax - k
-            bb["obj_points_pooled"] = np.concatenate(
-                [bb["obj_points_pooled"],
-                 np.zeros((pad,) + bb["obj_points_pooled"].shape[1:],
-                          bb["obj_points_pooled"].dtype)])
-            bb["pooled_flat_idx"] = np.concatenate(
-                [bb["pooled_flat_idx"], np.zeros(pad, np.int32)])
-            bb["pooled_mask"] = np.concatenate(
-                [bb["pooled_mask"], np.zeros(pad, bool)])
-    stacked = {k: jax.device_put(np.stack([bb[k] for bb in batches]))
-               for k in batches[0]}
+    stacked = stack_queue(batches, dp=dp)
+    if mesh is not None:
+        stacked = shard_queue(stacked, mesh)
+    else:
+        stacked = {k: jax.device_put(v) for k, v in stacked.items()}
+    run_queue = make_serving_queue(model, tuple(modules))
 
-    @jax.jit
-    def run_queue(params, batch_stats, q):
-        def body(carry, one):
-            out = step(params, batch_stats, one)
-            return carry + out["rr_sum"], None
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), q)
-        return acc
-
-    float(jax.device_get(run_queue(state.params, state.batch_stats, stacked)))
+    float(jax.device_get(run_queue(state.params, state.batch_stats,
+                                   stacked)["rr_sum"]))
     t_best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        acc = run_queue(state.params, state.batch_stats, stacked)
-        float(jax.device_get(acc))
+        out = run_queue(state.params, state.batch_stats, stacked)
+        float(jax.device_get(out["rr_sum"]))
         t_best = min(t_best, time.perf_counter() - t0)
     per_batch = t_best / queue
     queued = {"ms_per_batch": round(per_batch * 1e3, 2),
               "pairs_per_sec": round(batch_size / per_batch, 1)}
 
     return {"modules": "_".join(modules), "batch_size": batch_size,
-            "queue": queue, "bucket": bucket,
+            "queue": queue, "bucket": bucket, "dp": dp,
             "dispatch": disp, "queued": queued}
 
 
@@ -129,9 +128,11 @@ def main():
     ap.add_argument("--bucket", type=int, default=128)
     ap.add_argument("--modules", type=str, default="pct",
                     choices=["pct", "point"])
+    ap.add_argument("--dp", type=int, default=1)
     args = ap.parse_args()
     modules = (args.modules, "gat", "rel", "attr")
-    print(json.dumps(bench(modules, args.batch, args.queue, args.bucket)))
+    print(json.dumps(bench(modules, args.batch, args.queue, args.bucket,
+                           dp=args.dp)))
 
 
 if __name__ == "__main__":

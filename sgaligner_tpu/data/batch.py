@@ -334,3 +334,45 @@ def pool_compact_sharded(batch: PairBatch, bucket: int = 128,
     out["pooled_flat_idx"] = np.concatenate([p[1] for p in parts])
     out["pooled_mask"] = np.concatenate([p[2] for p in parts])
     return out
+
+
+_POOLED_KEYS = ("obj_points_pooled", "pooled_flat_idx", "pooled_mask")
+
+
+def stack_queue(batches: list[dict], dp: int = 1) -> dict:
+    """Stack B-identical batches into one [Q, ...] serving-queue tree.
+
+    The pooled-object axis K may differ per batch (bucket quantization); it is
+    padded to the queue-wide max with masked-out rows. With ``dp > 1`` the
+    batches came from ``pool_compact_sharded`` — rows ``[i*k, (i+1)*k)``
+    belong to shard i, so padding happens PER SHARD BLOCK (a tail pad would
+    shift shard boundaries and break the shard-local gather contract).
+    Consumed by ``engine.train_step.make_serving_queue``; shard with
+    ``parallel.mesh.shard_queue``.
+    """
+    out = {k: np.stack([np.asarray(b[k]) for b in batches])
+           for k in batches[0] if k not in _POOLED_KEYS}
+    if "obj_points_pooled" not in batches[0]:
+        return out
+    ks = [b["obj_points_pooled"].shape[0] for b in batches]
+    for k in ks:
+        if k % dp != 0:
+            raise ValueError(
+                f"pooled axis {k} not divisible by dp={dp}: build batches "
+                "with pool_compact_sharded(dp=dp)")
+    kmax = max(k // dp for k in ks)
+
+    def pad_blocks(b):
+        k = b["obj_points_pooled"].shape[0] // dp
+        res = {}
+        for key in _POOLED_KEYS:
+            v = np.asarray(b[key]).reshape((dp, k) + b[key].shape[1:])
+            pad = np.zeros((dp, kmax - k) + v.shape[2:], v.dtype)
+            res[key] = np.concatenate([v, pad], axis=1).reshape(
+                (dp * kmax,) + v.shape[2:])
+        return res
+
+    padded = [pad_blocks(b) for b in batches]
+    for key in _POOLED_KEYS:
+        out[key] = np.stack([p[key] for p in padded])
+    return out

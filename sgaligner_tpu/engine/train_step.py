@@ -99,39 +99,73 @@ def make_train_step(model, tx, modules: tuple[str, ...], kind: str = "overall",
     return train_step
 
 
+def _serving_metrics(model, modules: tuple[str, ...], ks: tuple[int, ...],
+                     with_sim: bool, params, batch_stats, batch) -> dict:
+    """Unjitted serving body: forward -> joint sim matrices -> rank/metric
+    components. Shared by the single-batch step and the device-side queue."""
+    embs, _ = _apply_model(model, params["model"], batch_stats, batch,
+                           train=False, rng=None)
+    key = "joint" if len(modules) > 1 else modules[0]
+    b, two_n = batch["obj_mask"].shape
+    emb = embs[key].reshape(b, two_n, -1)
+    sim = M.cosine_sim_matrix(emb, batch["obj_mask"])
+    ranks, mask = M.anchor_ranks(sim, batch["e1i"], batch["e2i"],
+                                 batch["anchor_mask"])
+    rr_sum, rr_count = M.mrr_from_ranks(ranks, mask)
+    hits = M.hits_at_k_from_ranks(ranks, mask, ks)
+    out = {
+        "rr_sum": rr_sum,
+        "rr_count": rr_count,
+        "alignment_score": M.alignment_score(
+            sim, batch["n_src"], batch["n_ref"], two_n // 2),
+    }
+    if with_sim:
+        out["sim"] = sim
+    for k, (correct, total) in hits.items():
+        out[f"hits@{k}"] = (correct, total)
+    return out
+
+
 def make_serving_step(model, modules: tuple[str, ...],
                       ks: tuple[int, ...] = (1, 2, 3, 4, 5),
                       with_sim: bool = False):
     """Inference-only program: forward -> joint sim matrices -> rank/metric
     components. No loss computation, no batch-stat plumbing, no dropout —
     the alignment-serving path (scripts/bench_serving.py measures it; pair it
-    with a device-side batch queue to amortize dispatch overhead)."""
+    with ``make_serving_queue`` to amortize dispatch overhead)."""
+    return jax.jit(partial(_serving_metrics, model, modules, ks, with_sim))
+
+
+def make_serving_queue(model, modules: tuple[str, ...],
+                       ks: tuple[int, ...] = (1, 2, 3, 4, 5)):
+    """Device-side batch queue: ONE dispatch scans over Q stacked batches.
+
+    Dispatch over a tunneled/remote PJRT backend costs tens of ms regardless
+    of program size (PERF.md "Inference/serving"), so the TPU-native serving
+    shape is a jitted ``lax.scan`` over a queue of stacked batches: wall time
+    amortizes to the device cost per batch. Returns the queue-summed scalar
+    metric components plus per-batch ``alignment_score`` stacked to [Q, B].
+
+    Data-parallel serving: stack per-shard pooled batches
+    (``data.batch.pool_compact_sharded``), device_put the stacked tree with
+    ``parallel.mesh.queue_sharding(mesh)`` (pair axis = axis 1 sharded over
+    "dp") and params/batch_stats replicated — GSPMD partitions the scan body
+    and inserts the metric all-reduces over ICI. Tested in
+    tests/test_serving.py::test_serving_queue_sharded_dp_equivalence.
+    """
+    body_metrics = partial(_serving_metrics, model, modules, ks, False)
 
     @jax.jit
-    def serving_step(params, batch_stats, batch) -> dict:
-        embs, _ = _apply_model(model, params["model"], batch_stats, batch,
-                               train=False, rng=None)
-        key = "joint" if len(modules) > 1 else modules[0]
-        b, two_n = batch["obj_mask"].shape
-        emb = embs[key].reshape(b, two_n, -1)
-        sim = M.cosine_sim_matrix(emb, batch["obj_mask"])
-        ranks, mask = M.anchor_ranks(sim, batch["e1i"], batch["e2i"],
-                                     batch["anchor_mask"])
-        rr_sum, rr_count = M.mrr_from_ranks(ranks, mask)
-        hits = M.hits_at_k_from_ranks(ranks, mask, ks)
-        out = {
-            "rr_sum": rr_sum,
-            "rr_count": rr_count,
-            "alignment_score": M.alignment_score(
-                sim, batch["n_src"], batch["n_ref"], two_n // 2),
-        }
-        if with_sim:
-            out["sim"] = sim
-        for k, (correct, total) in hits.items():
-            out[f"hits@{k}"] = (correct, total)
-        return out
+    def serve_queue(params, batch_stats, stacked) -> dict:
+        def body(carry, one):
+            return carry, body_metrics(params, batch_stats, one)
+        _, outs = jax.lax.scan(body, None, stacked)
+        # scalar components sum over the queue; per-pair scores stay [Q, B]
+        return {k: v if k == "alignment_score"
+                else jax.tree.map(lambda x: x.sum(0), v)
+                for k, v in outs.items()}
 
-    return serving_step
+    return serve_queue
 
 
 def make_eval_step(model, modules: tuple[str, ...], kind: str = "overall",

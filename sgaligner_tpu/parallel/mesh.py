@@ -74,5 +74,20 @@ def shard_batch(batch: dict, mesh: Mesh, pad: bool = True) -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def queue_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a serving QUEUE (stacked batches, [Q, ...] leaves): the
+    queue axis is scanned on every device, the pair axis (axis 1) shards over
+    'dp'. Build the stacked batches with per-shard pooling
+    (``data.batch.pool_compact_sharded``) so the pooled-object axis splits
+    shard-local too. See engine.train_step.make_serving_queue."""
+    return NamedSharding(mesh, P(None, "dp"))
+
+
+def shard_queue(stacked: dict, mesh: Mesh) -> dict:
+    """Device-put a stacked serving queue with the pair axis sharded."""
+    sh = queue_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+
+
 def dp_size(mesh: Mesh) -> int:
     return mesh.shape["dp"]

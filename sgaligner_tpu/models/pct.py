@@ -57,9 +57,10 @@ def _fused_block(x, mask, train, channels: int, dtype,
     The BN module is consulted for its (scale, bias) params up front and for
     the running-stat update afterwards.
 
-    EVAL: block kernel + fold from running stats + one XLA epilogue fusion
-    (no backward exists to optimize)."""
-    from sgaligner_tpu.ops.pct_attention import (pct_block_fused,
+    EVAL: one forward-only kernel (``pct_block_eval``) — the running-stat
+    fold is known up front, so relu + residual ride the kernel's output
+    write and t_out never reaches HBM."""
+    from sgaligner_tpu.ops.pct_attention import (pct_block_eval,
                                                  pct_block_residual)
 
     da = channels // 4
@@ -86,17 +87,12 @@ def _fused_block(x, mask, train, channels: int, dtype,
            return_fold=True)
         return x_next
 
-    t_out, ssum, ssumsq = pct_block_fused(
+    # eval: running-stat fold (train=False ignores moments) applied in-kernel
+    wbn, bbn = bn(x, mask[:, None], train, return_fold=True)
+    return pct_block_eval(
         x.astype(dtype), wqk.astype(dtype), wv.astype(dtype),
-        bv.astype(dtype), wt.astype(dtype), bt.astype(dtype), kmask,
-        scale, double_norm, interpret)
-    count = jnp.maximum(mask.astype(jnp.float32).sum() * p_pts, 1.0)
-    mean = ssum[0] / count
-    var = jnp.maximum(ssumsq[0] / count - jnp.square(mean), 0.0)
-    wbn, bbn = bn(t_out, mask[:, None], train, moments=(mean, var, count),
-                  return_fold=True)
-    normed = t_out * wbn.astype(t_out.dtype) + bbn.astype(t_out.dtype)
-    return x + nn.relu(normed)
+        bv.astype(dtype), wt.astype(dtype), bt.astype(dtype),
+        wbn, bbn, scale, double_norm, interpret)
 
 
 class MaskedBatchNorm(nn.Module):

@@ -816,3 +816,84 @@ def _block_res_bwd_rule(scale, double_norm, eps, interpret, residuals, cts):
 
 
 pct_block_residual.defvjp(_block_res_fwd_rule, _block_res_bwd_rule)
+
+
+# --------------------------------------------------------------------------
+# Inference-mode whole-block op: block + RUNNING-stat BN fold + relu/residual
+# epilogue in ONE forward-only kernel. Unlike training (where the fold
+# depends on batch statistics that only exist after every tile's sums
+# complete — inherently two-pass), eval folds from running averages known
+# up front, so the epilogue rides the kernel's output write: no t_out ever
+# reaches HBM and no separate XLA epilogue pass runs. Serving profile
+# motivation: ~4.8 ms of epilogue fusions in the B=64 eval step (PERF.md
+# "Inference / serving — round 3").
+# --------------------------------------------------------------------------
+
+
+def _block_eval_kernel(x_ref, wqk_ref, wv_ref, bv_ref, wt_ref, bt_ref,
+                       wbn_ref, bbn_ref, y_ref, *, scale, double_norm, oa):
+    x = x_ref[:]
+    acc = _acc_dtype(x.dtype)
+    t_out = _block_math(x, wqk_ref[:], wv_ref[:], bv_ref[:],
+                        wt_ref[:], bt_ref[:], scale, double_norm, oa)
+    z = (t_out.astype(acc) * wbn_ref[:].astype(acc)
+         + bbn_ref[:].astype(acc))
+    y_ref[:] = (x.astype(acc) + jnp.maximum(z, 0.0)).astype(y_ref.dtype)
+
+
+def _block_eval_ref(x, wqk, wv, bv, wt, bt, wbn, bbn, scale, double_norm):
+    acc = _acc_dtype(x.dtype)
+    t_out = _block_math(x, wqk, wv, bv, wt, bt, scale, double_norm,
+                        oa=double_norm)
+    z = t_out.astype(acc) * wbn.astype(acc) + bbn.astype(acc)
+    return (x.astype(acc) + jnp.maximum(z, 0.0)).astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def pct_block_eval(x, wqk, wv, bv, wt, bt, wbn, bbn,
+                   scale=True, double_norm=False, interpret=False):
+    """Inference-mode SA/OA block: ``x + relu(t_out * wbn + bbn)`` in one
+    kernel, where ``(wbn, bbn)`` is the BN affine folded from RUNNING stats
+    (MaskedBatchNorm(return_fold=True) with train=False). The backward (a
+    cold path — frozen-BN fine-tuning) differentiates the unfused reference
+    composition."""
+    o, p, c = x.shape
+    t = _block_pick_tile(o, p, c, wqk.shape[1], x.dtype.itemsize, bwd=False)
+    if t is None:
+        return _block_eval_ref(x, wqk, wv, bv, wt, bt, wbn, bbn,
+                               scale, double_norm)
+    return pl.pallas_call(
+        partial(_block_eval_kernel, scale=scale, double_norm=double_norm,
+                oa=double_norm),
+        grid=(o // t,),
+        in_specs=[
+            pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)],
+        ],
+        out_specs=pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((o, p, c), x.dtype),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(x, wqk, wv, bv[None], wt, bt[None],
+      wbn.astype(_acc_dtype(x.dtype)).reshape(1, c),
+      bbn.astype(_acc_dtype(x.dtype)).reshape(1, c))
+
+
+def _block_eval_fwd_rule(x, wqk, wv, bv, wt, bt, wbn, bbn,
+                         scale, double_norm, interpret):
+    out = pct_block_eval(x, wqk, wv, bv, wt, bt, wbn, bbn,
+                         scale, double_norm, interpret)
+    return out, (x, wqk, wv, bv, wt, bt, wbn, bbn)
+
+
+def _block_eval_bwd_rule(scale, double_norm, interpret, residuals, dy):
+    x, wqk, wv, bv, wt, bt, wbn, bbn = residuals
+    _, vjp = jax.vjp(
+        lambda *a: _block_eval_ref(*a, scale, double_norm),
+        x, wqk, wv, bv, wt, bt, wbn, bbn)
+    return vjp(dy)
+
+
+pct_block_eval.defvjp(_block_eval_fwd_rule, _block_eval_bwd_rule)

@@ -97,9 +97,66 @@ def bench_config(modules: list[str]) -> dict:
             "window_max": round(windows[-1], 1)}
 
 
+SERVING_BATCH = 512
+SERVING_QUEUE = 4
+
+
+def bench_serving(modules: list[str]) -> dict:
+    """Queued serving path: ONE jitted lax.scan over SERVING_QUEUE distinct
+    stacked batches (engine/train_step.py::make_serving_queue — forward +
+    sim + rank components, no loss/batch-stat plumbing, forward-only eval
+    block kernel). Per-dispatch serving is NOT measured here: over tunneled
+    PJRT a dispatch costs ~45 ms wall regardless of program size (PERF.md
+    "Inference / serving — round 3")."""
+    import optax
+
+    from sgaligner_tpu.core.config import make_cfg
+    from sgaligner_tpu.data.batch import (BatchSpec, pool_compact,
+                                          stack_queue)
+    from sgaligner_tpu.data.synthetic import make_synthetic_batch
+    from sgaligner_tpu.engine.factory import build_model
+    from sgaligner_tpu.engine.train_step import (create_train_state,
+                                                 make_serving_queue)
+    from sgaligner_tpu.ops.objective import init_loss_params
+
+    cfg = make_cfg(model_name="sgaligner", modules=modules)
+    cfg.tpu.max_objects = MAX_OBJECTS
+    cfg.tpu.points_per_object = POINTS_PER_OBJECT
+    cfg.tpu.compute_dtype = "bfloat16"
+    spec = BatchSpec(batch_size=SERVING_BATCH, max_objects=MAX_OBJECTS,
+                     points_per_object=POINTS_PER_OBJECT)
+
+    def make(seed):
+        host = {k: np.asarray(v)
+                for k, v in make_synthetic_batch(spec, seed=seed).items()}
+        return pool_compact(host, bucket=POOLED_BUCKET)
+
+    model = build_model(cfg)
+    b0 = {k: jax.device_put(v) for k, v in make(0).items()}
+    state = create_train_state(model, optax.adam(1e-3), b0,
+                               init_loss_params(len(modules)),
+                               jax.random.key(0))
+    stacked = stack_queue([make(100 + i) for i in range(SERVING_QUEUE)])
+    stacked = {k: jax.device_put(v) for k, v in stacked.items()}
+    run_queue = make_serving_queue(model, tuple(modules))
+
+    float(jax.device_get(run_queue(state.params, state.batch_stats,
+                                   stacked)["rr_sum"]))
+    t_best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run_queue(state.params, state.batch_stats, stacked)
+        float(jax.device_get(out["rr_sum"]))
+        t_best = min(t_best, time.perf_counter() - t0)
+    per_batch = t_best / SERVING_QUEUE
+    return {"pairs_per_sec": round(SERVING_BATCH / per_batch, 1),
+            "ms_per_batch": round(per_batch * 1e3, 2)}
+
+
 def main() -> None:
     pct = bench_config(["pct", "gat", "rel", "attr"])
     point = bench_config(["point", "gat", "rel", "attr"])
+    serving = bench_serving(["pct", "gat", "rel", "attr"])
     print(json.dumps({
         "metric": "train_pairs_per_sec_per_chip_pct_flagship",
         "value": pct["pairs_per_sec"],
@@ -109,6 +166,10 @@ def main() -> None:
         "variance_band": [pct["window_min"], pct["window_max"]],
         "point_config_pairs_per_sec": point["pairs_per_sec"],
         "point_variance_band": [point["window_min"], point["window_max"]],
+        "serving_pairs_per_sec": serving["pairs_per_sec"],
+        "serving_config": {"batch_size": SERVING_BATCH,
+                           "queue": SERVING_QUEUE,
+                           "ms_per_batch": serving["ms_per_batch"]},
         "config": {"batch_size": BATCH_SIZE, "max_objects": MAX_OBJECTS,
                    "points_per_object": POINTS_PER_OBJECT,
                    "compact_slots": COMPACT_SLOTS,

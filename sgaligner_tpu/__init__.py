@@ -39,4 +39,9 @@ def __getattr__(name):
         from sgaligner_tpu.engine.trainer import Trainer
 
         return Trainer
+    if name in ("export_serving_artifact", "load_serving_artifact",
+                "ServingArtifact"):
+        from sgaligner_tpu import serving
+
+        return getattr(serving, name)
     raise AttributeError(name)

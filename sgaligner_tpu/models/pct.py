@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sgaligner_tpu.ops import kernel_mode
+
 
 class _DenseParams(nn.Module):
     """Parameter container matching nn.Dense's {kernel[, bias]} tree — lets
@@ -41,8 +43,7 @@ class _DenseParams(nn.Module):
 
 
 def _use_fused(flag: str) -> bool:
-    return (flag == "always"
-            or (flag == "auto" and jax.default_backend() != "cpu"))
+    return kernel_mode.use_fused(flag)
 
 
 def _fused_block(x, mask, train, channels: int, dtype,
@@ -67,7 +68,7 @@ def _fused_block(x, mask, train, channels: int, dtype,
     wqk, _ = _DenseParams(channels, da, use_bias=False, name="qk")()
     wv, bv = _DenseParams(channels, channels, name="v")()
     wt, bt = _DenseParams(channels, channels, name="trans")()
-    interpret = jax.default_backend() == "cpu"  # fused="always" in CPU tests
+    interpret = kernel_mode.interpret()  # fused="always" in CPU tests
 
     p_pts = x.shape[1]
     kmask = mask.astype(dtype)[:, None]
@@ -271,7 +272,7 @@ class NaivePCT(nn.Module):
             from sgaligner_tpu.ops.pct_tail import pct_tail_fused
 
             w, _ = _DenseParams(4 * 128, 1024, use_bias=False, name="linear")()
-            interpret = jax.default_backend() == "cpu"
+            interpret = kernel_mode.interpret()
             kmask = mask.astype(self.dtype)[:, None]
             p_pts = feats[0].shape[1]
             pmax, pmin, ssum, ssumsq = pct_tail_fused(
@@ -314,7 +315,7 @@ class NaivePCT(nn.Module):
 
         pts = points.astype(self.dtype)
         pts_cf = pts if self.channel_first else jnp.swapaxes(pts, 1, 2)
-        interpret = jax.default_backend() == "cpu"
+        interpret = kernel_mode.interpret()
         kmask = mask.astype(self.dtype)[:, None]
         p_pts = pts_cf.shape[2]
         count = jnp.maximum(mask.astype(jnp.float32).sum() * p_pts, 1.0)

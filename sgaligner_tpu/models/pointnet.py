@@ -50,9 +50,9 @@ class PointNetEncoder(nn.Module):
         """points: [O, P, 3] -> [O, out_size]."""
         x = points.astype(self.dtype)
 
-        use_fused = (self.fused == "always"
-                     or (self.fused == "auto" and jax.default_backend() != "cpu"))
-        if use_fused and self.bn_mode == "parity":
+        from sgaligner_tpu.ops import kernel_mode
+
+        if kernel_mode.use_fused(self.fused) and self.bn_mode == "parity":
             from sgaligner_tpu.ops.pointnet_fused import pointnet_fused
 
             # same param tree as the Dense path: {convN: {kernel, bias}}
@@ -62,7 +62,8 @@ class PointNetEncoder(nn.Module):
                                    name="conv3")()
             # points are data: the fused op returns a zero x-cotangent
             return pointnet_fused(jax.lax.stop_gradient(x), w1, b1[None],
-                                  w2, b2[None], w3, b3[None])
+                                  w2, b2[None], w3, b3[None],
+                                  kernel_mode.interpret())
         x = jnp.swapaxes(x, 1, 2)  # XLA path computes points-last
 
         def block(x, feats, name):

@@ -1,0 +1,111 @@
+"""Exported serving artifacts (sgaligner_tpu/serving.py).
+
+The TPU-native deployment story: the jitted serving program serialized via
+``jax.export`` + trained state + shape metadata in one directory. The
+reference has no counterpart (its inference rebuilds the torch model from
+YAML every run); the tests pin the contract that matters for a serving
+host: the artifact reproduces the in-process serving step EXACTLY, and
+shape drift fails loudly at the host boundary."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sgaligner_tpu.core.config import make_cfg
+from sgaligner_tpu.data.batch import BatchSpec
+from sgaligner_tpu.data.synthetic import make_synthetic_batch
+from sgaligner_tpu.engine.factory import build_model
+from sgaligner_tpu.serving import (export_serving_artifact,
+                                   load_serving_artifact)
+
+
+def _cfg():
+    cfg = make_cfg(model_name="sgaligner",
+                   modules=["point", "gat", "rel", "attr"])
+    cfg.tpu.max_objects = 8
+    cfg.tpu.points_per_object = 32
+    return cfg
+
+
+def _trained_state(cfg, batch):
+    model = build_model(cfg, platform="cpu")
+    variables = model.init(jax.random.key(0), batch, train=False)
+    return model, variables["params"], variables.get("batch_stats", {})
+
+
+def test_export_roundtrip_matches_in_process(tmp_path):
+    cfg = _cfg()
+    spec = BatchSpec(batch_size=2, max_objects=8, points_per_object=32)
+    host = {k: np.asarray(v)
+            for k, v in make_synthetic_batch(spec, seed=3).items()}
+    model, params, stats = _trained_state(cfg, host)
+
+    art_dir = export_serving_artifact(
+        cfg, params, stats, str(tmp_path / "art"),
+        batch_size=2, pooled_bucket=32, platforms=("cpu",))
+    art = load_serving_artifact(art_dir)
+
+    out = art(host)
+
+    # in-process reference: same program, same pooled batch
+    from sgaligner_tpu.engine.train_step import make_serving_step
+    step = make_serving_step(model, tuple(cfg.modules))
+    want = step({"model": params}, stats, art.prepare(host))
+
+    assert set(out) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(out[k])),
+            np.asarray(jax.tree.leaves(want[k])), rtol=1e-6, atol=1e-6,
+            err_msg=f"artifact output '{k}' diverges from in-process step")
+    # sanity: the metric components are real numbers on a real batch
+    assert float(np.asarray(out["rr_count"]).sum()) > 0
+
+
+def test_prepare_rejects_overflow_and_shape_drift(tmp_path):
+    cfg = _cfg()
+    spec = BatchSpec(batch_size=2, max_objects=8, points_per_object=32)
+    host = {k: np.asarray(v)
+            for k, v in make_synthetic_batch(spec, seed=3).items()}
+    _, params, stats = _trained_state(cfg, host)
+
+    # K pinned BELOW this batch's real object count -> loud error
+    real = int(host["obj_mask"].sum())
+    art_dir = export_serving_artifact(
+        cfg, params, stats, str(tmp_path / "small"),
+        batch_size=2, pooled_bucket=8, platforms=("cpu",))
+    art = load_serving_artifact(art_dir)
+    assert real > art.meta["pooled_k"]
+    with pytest.raises(ValueError, match="pooled_bucket"):
+        art.prepare(host)
+
+    # wrong static shape -> loud error naming the field
+    art_dir2 = export_serving_artifact(
+        cfg, params, stats, str(tmp_path / "ok"),
+        batch_size=2, pooled_bucket=32, platforms=("cpu",))
+    art2 = load_serving_artifact(art_dir2)
+    bad = dict(host)
+    bad["bow_rel"] = bad["bow_rel"][:, :-1]
+    with pytest.raises(ValueError, match="bow_rel"):
+        art2.prepare(bad)
+
+
+def test_export_tpu_platform_serializes(tmp_path):
+    """A CPU-only build box can emit a TPU artifact (lowering is
+    device-independent; the fused Mosaic kernels serialize as custom calls).
+    Only serialization is checked — there is no TPU device in the suite."""
+    cfg = _cfg()
+    spec = BatchSpec(batch_size=2, max_objects=8, points_per_object=32)
+    host = {k: np.asarray(v)
+            for k, v in make_synthetic_batch(spec, seed=3).items()}
+    _, params, stats = _trained_state(cfg, host)
+    try:
+        art_dir = export_serving_artifact(
+            cfg, params, stats, str(tmp_path / "tpu_art"),
+            batch_size=2, pooled_bucket=32, platforms=("tpu",))
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"TPU lowering unavailable on this host: {e}")
+    art = load_serving_artifact(art_dir)
+    assert art.meta["platforms"] == ["tpu"]
+    assert (tmp_path / "tpu_art" / "serving.jaxexport").stat().st_size > 0

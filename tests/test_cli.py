@@ -66,3 +66,46 @@ def test_trainval_cli_end_to_end(tmp_path):
                 "point_gat_rel_attr" / "logs").glob("*.log"))
     text = log.read_text()
     assert "val" in text and "mrr" in text
+
+
+def test_export_serving_cli(tmp_path):
+    """trainval snapshot -> export_serving CLI -> load artifact -> run.
+
+    The deployment chain the reference lacks: a trained orbax snapshot is
+    frozen into a jax.export artifact and serves inference without the
+    config/model machinery."""
+    import json
+
+    from sgaligner_tpu.cli.export_serving import main as export_main
+    from sgaligner_tpu.data.batch import BatchSpec
+    from sgaligner_tpu.data.synthetic import make_synthetic_batch
+    from sgaligner_tpu.serving import load_serving_artifact
+
+    root = tmp_path / "ws"
+    make_synthetic_workspace(str(root), split="train", n_pairs=4,
+                             pc_resolutions=[32])
+    make_synthetic_workspace(str(root), split="val", n_pairs=2,
+                             pc_resolutions=[32])
+    cfg_file = _write_cfg(tmp_path, root)
+    out_root = tmp_path / "out"
+    assert trainval_main(["--config", cfg_file,
+                          "--output_root", str(out_root)]) == 0
+    snap = out_root / "output" / "Scan3R" / "sgaligner" / \
+        "point_gat_rel_attr" / "snapshots" / "epoch-1"
+
+    art_dir = tmp_path / "artifact"
+    rc = export_main(["--config", cfg_file, "--snapshot", str(snap),
+                      "--out", str(art_dir), "--batch", "2",
+                      "--platform", "cpu"])
+    assert rc == 0
+    assert (art_dir / "serving.jaxexport").exists()
+    meta = json.loads((art_dir / "meta.json").read_text())
+    assert meta["batch_size"] == 2 and meta["platforms"] == ["cpu"]
+
+    art = load_serving_artifact(str(art_dir))
+    spec = BatchSpec(batch_size=2, max_objects=12, points_per_object=32)
+    host = {k: np.asarray(v)
+            for k, v in make_synthetic_batch(spec, seed=5).items()}
+    out = art(host)
+    assert float(np.asarray(out["rr_count"])) > 0
+    assert np.isfinite(float(np.asarray(out["rr_sum"])))

@@ -31,10 +31,16 @@ def parse_args(argv=None):
                         help="pairs per serving batch (pinned)")
     parser.add_argument("--pooled_bucket", type=int, default=0,
                         help="pinned pooled point axis K; 0 = dense bound")
+    parser.add_argument("--queue", type=int, default=1,
+                        help="export the device-side batch-queue program "
+                             "scanning this many stacked batches per call")
     parser.add_argument("--platform", default="tpu",
                         choices=["tpu", "cpu"])
     parser.add_argument("--with_sim", action="store_true",
                         help="artifact also returns per-pair sim matrices")
+    parser.add_argument("--points_dtype", default="",
+                        help="pin the point-cloud input dtype, e.g. "
+                             "bfloat16 to halve serving input bandwidth")
     parser.add_argument("--output_root", default=None)
     return parser.parse_args(argv)
 
@@ -61,10 +67,12 @@ def main(argv=None) -> int:
         cfg, params, batch_stats, args.out,
         batch_size=args.batch,
         pooled_bucket=args.pooled_bucket or None,
+        queue=args.queue,
         platforms=(args.platform,),
-        with_sim=args.with_sim)
+        with_sim=args.with_sim,
+        points_dtype=args.points_dtype)
     print(json.dumps({"artifact": out, "batch_size": args.batch,
-                      "platform": args.platform}))
+                      "queue": args.queue, "platform": args.platform}))
     return 0
 
 

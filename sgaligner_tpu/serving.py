@@ -74,7 +74,8 @@ def _unflatten(flat):
 
 def export_serving_artifact(cfg, params, batch_stats, out_dir, *,
                             batch_size: int, pooled_bucket: int | None = None,
-                            platforms=("tpu",), with_sim: bool = False,
+                            queue: int = 1, platforms=("tpu",),
+                            with_sim: bool = False, points_dtype: str = "",
                             ks: tuple[int, ...] = (1, 2, 3, 4, 5)) -> str:
     """Export the alignment-serving program + trained state to ``out_dir``.
 
@@ -83,6 +84,19 @@ def export_serving_artifact(cfg, params, batch_stats, out_dir, *,
     work than a tuned bound at 3RScan occupancy — PERF.md). The serving
     program expects batches prepared by ``ServingArtifact.prepare`` (or any
     host code producing the same pooled PairBatch layout).
+
+    ``queue > 1`` exports the device-side batch-queue program instead (ONE
+    dispatch scanning ``queue`` stacked batches,
+    ``engine/train_step.py::make_serving_queue`` — the throughput-optimal
+    serving shape, PERF.md "Inference / serving"); the loaded artifact then
+    takes a LIST of ``queue`` host batches per call. ``with_sim`` is
+    single-batch only.
+
+    ``points_dtype="bfloat16"`` pins the point-cloud input in bf16: the
+    model casts points to the compute dtype at ingest anyway, and the point
+    field dominates serving input bandwidth (``[K, 3, P]`` is ~95% of the
+    batch bytes) — halving it halves the host→device transfer per request.
+    ``prepare`` performs the cast, so callers still hand in f32 points.
     """
     import jax
     from jax import export as jexport
@@ -90,7 +104,8 @@ def export_serving_artifact(cfg, params, batch_stats, out_dir, *,
     from sgaligner_tpu.data.batch import BatchSpec, pool_compact
     from sgaligner_tpu.data.synthetic import make_synthetic_batch
     from sgaligner_tpu.engine.factory import build_model
-    from sgaligner_tpu.engine.train_step import make_serving_step
+    from sgaligner_tpu.engine.train_step import (make_serving_queue,
+                                                 make_serving_step)
 
     two_n = 2 * cfg.tpu.max_objects
     # pool_compact never exceeds the dense bound B * 2N — clamp the pin to
@@ -114,10 +129,20 @@ def export_serving_artifact(cfg, params, batch_stats, out_dir, *,
         elif arr.shape[0] < k_pinned:
             pad = [(0, k_pinned - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
             example[key] = np.pad(arr, pad)
+    if points_dtype:
+        example["obj_points_pooled"] = (
+            example["obj_points_pooled"].astype(np.dtype(points_dtype)))
 
-    step = make_serving_step(model, tuple(cfg.modules), ks=ks,
-                             with_sim=with_sim)
-    args = ({"model": params}, batch_stats or {}, example)
+    if queue > 1:
+        if with_sim:
+            raise ValueError("with_sim is single-batch only (queue == 1)")
+        step = make_serving_queue(model, tuple(cfg.modules), ks=ks)
+        program_input = {k: np.stack([v] * queue) for k, v in example.items()}
+    else:
+        step = make_serving_step(model, tuple(cfg.modules), ks=ks,
+                                 with_sim=with_sim)
+        program_input = example
+    args = ({"model": params}, batch_stats or {}, program_input)
     specs = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), args)
     # The trace must emit the target platform's kernel mode (real Mosaic
@@ -143,6 +168,7 @@ def export_serving_artifact(cfg, params, batch_stats, out_dir, *,
         "param_dtypes": param_dtypes,
         "modules": list(cfg.modules),
         "batch_size": batch_size,
+        "queue": queue,
         "max_objects": cfg.tpu.max_objects,
         "points_per_object": cfg.tpu.points_per_object,
         "pooled_k": k_pinned,
@@ -169,7 +195,19 @@ class ServingArtifact:
         self._exported = exported
         self._params = params
         self._batch_stats = batch_stats
+        self._on_device = False
         self.meta = meta
+
+    def _state(self):
+        """Trained state, device-resident after the first call — npz loads
+        numpy arrays, and re-uploading params every call costs more than the
+        serving step itself on tunneled backends (measured 2-3x, PERF.md)."""
+        if not self._on_device:
+            import jax
+            self._params = jax.device_put(self._params)
+            self._batch_stats = jax.device_put(self._batch_stats)
+            self._on_device = True
+        return self._params, self._batch_stats
 
     def prepare(self, host_batch: dict) -> dict:
         from sgaligner_tpu.data.batch import pool_compact
@@ -191,15 +229,33 @@ class ServingArtifact:
                 raise ValueError(
                     f"field '{key}': shape {list(batch[key].shape)} != "
                     f"exported {shape}")
-            batch[key] = batch[key].astype(dtype, copy=False)
+            if dtype == "bfloat16":
+                import ml_dtypes
+                batch[key] = batch[key].astype(ml_dtypes.bfloat16, copy=False)
+            else:
+                batch[key] = batch[key].astype(dtype, copy=False)
         extra = set(batch) - set(self.meta["batch_keys"])
         for key in extra:
             del batch[key]
         return batch
 
-    def __call__(self, host_batch: dict) -> dict:
-        return self._exported.call(self._params, self._batch_stats,
-                                   self.prepare(host_batch))
+    def __call__(self, host_batch) -> dict:
+        """Single-batch artifact: one host PairBatch dict. Queue artifact
+        (meta['queue'] > 1): a list of exactly that many host batches."""
+        q = self.meta.get("queue", 1)
+        if q > 1:
+            if not isinstance(host_batch, (list, tuple)) or len(host_batch) != q:
+                raise ValueError(
+                    f"queue artifact expects a list of {q} batches, got "
+                    f"{type(host_batch).__name__} of length "
+                    f"{len(host_batch) if isinstance(host_batch, (list, tuple)) else 'n/a'}")
+            prepared = [self.prepare(b) for b in host_batch]
+            stacked = {k: np.stack([p[k] for p in prepared])
+                       for k in prepared[0]}
+            params, stats = self._state()
+            return self._exported.call(params, stats, stacked)
+        params, stats = self._state()
+        return self._exported.call(params, stats, self.prepare(host_batch))
 
 
 def load_serving_artifact(art_dir: str) -> ServingArtifact:

@@ -109,3 +109,64 @@ def test_export_tpu_platform_serializes(tmp_path):
     art = load_serving_artifact(art_dir)
     assert art.meta["platforms"] == ["tpu"]
     assert (tmp_path / "tpu_art" / "serving.jaxexport").stat().st_size > 0
+
+
+def test_export_queue_artifact_roundtrip(tmp_path):
+    """queue > 1 exports the device-side batch-queue program; the artifact
+    takes a list of Q host batches and matches the in-process scan."""
+    cfg = _cfg()
+    spec = BatchSpec(batch_size=2, max_objects=8, points_per_object=32)
+    host = {k: np.asarray(v)
+            for k, v in make_synthetic_batch(spec, seed=3).items()}
+    model, params, stats = _trained_state(cfg, host)
+
+    art_dir = export_serving_artifact(
+        cfg, params, stats, str(tmp_path / "qart"),
+        batch_size=2, pooled_bucket=32, queue=3, platforms=("cpu",))
+    art = load_serving_artifact(art_dir)
+    batches = [{k: np.asarray(v)
+                for k, v in make_synthetic_batch(spec, seed=s).items()}
+               for s in (7, 8, 9)]
+    out = art(batches)
+
+    from sgaligner_tpu.engine.train_step import make_serving_queue
+    run_queue = make_serving_queue(model, tuple(cfg.modules))
+    prepared = [art.prepare(b) for b in batches]
+    stacked = {k: np.stack([p[k] for p in prepared]) for k in prepared[0]}
+    want = run_queue({"model": params}, stats, stacked)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(out[k])),
+            np.asarray(jax.tree.leaves(want[k])), rtol=1e-6, atol=1e-6,
+            err_msg=f"queue artifact output '{k}' diverges")
+
+    with pytest.raises(ValueError, match="list of 3"):
+        art(batches[:2])
+
+
+def test_export_bf16_points_input(tmp_path):
+    """points_dtype='bfloat16' halves the dominant input field; prepare
+    casts f32 host points and the metrics stay close to the f32 artifact."""
+    cfg = _cfg()
+    spec = BatchSpec(batch_size=2, max_objects=8, points_per_object=32)
+    host = {k: np.asarray(v)
+            for k, v in make_synthetic_batch(spec, seed=3).items()}
+    _, params, stats = _trained_state(cfg, host)
+
+    kw = dict(batch_size=2, pooled_bucket=32, platforms=("cpu",))
+    art32 = load_serving_artifact(export_serving_artifact(
+        cfg, params, stats, str(tmp_path / "f32"), **kw))
+    art16 = load_serving_artifact(export_serving_artifact(
+        cfg, params, stats, str(tmp_path / "bf16"), points_dtype="bfloat16",
+        **kw))
+    assert art16.meta["batch_keys"]["obj_points_pooled"][1] == "bfloat16"
+    p16 = art16.prepare(host)
+    assert str(p16["obj_points_pooled"].dtype) == "bfloat16"
+
+    out32, out16 = art32(host), art16(host)
+    np.testing.assert_allclose(
+        float(np.asarray(out16["rr_sum"])),
+        float(np.asarray(out32["rr_sum"])), rtol=0.2)
+    a32 = np.asarray(out32["alignment_score"])
+    a16 = np.asarray(out16["alignment_score"])
+    np.testing.assert_allclose(a16, a32, rtol=0.05, atol=0.02)

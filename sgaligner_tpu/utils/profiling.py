@@ -71,20 +71,31 @@ def parse_xplane(path: str, steps: int = 1) -> StepProfile:
         out: dict[str, float] = {}
         for ev in line.events:
             name = meta[ev.metadata_id].name
+            # XLA Ops lines carry full HLO text ("%fusion.3 = bf16[...] ...")
+            # — keep just the op name
+            name = name.split(" = ")[0].lstrip("%")
             out[name] = out.get(name, 0.0) + ev.duration_ps / 1e9  # -> ms
         return out
 
-    best: tuple[float, dict, str] = (0.0, {}, "")
-    for plane in xs.planes:
-        is_device = any(t in plane.name for t in ("TPU", "tpu", "/device:"))
-        for line in plane.lines:
-            ops = line_ops(plane, line)
-            score = sum(ops.values()) * (100.0 if is_device else 1.0)
-            if "XLA Ops" in line.name and is_device:
-                score *= 100.0
-            if score > best[0]:
-                best = (score, ops, f"{plane.name} :: {line.name}")
-    _, ops, plane_name = best
+    def pick(planes):
+        best: tuple[float, dict, str] = (0.0, {}, "")
+        for plane in planes:
+            for line in plane.lines:
+                ops = line_ops(plane, line)
+                score = sum(ops.values())
+                if "XLA Ops" in line.name:
+                    score *= 1000.0  # leaf op spans: the exclusive-time line
+                if score > best[0]:
+                    best = (score, ops, f"{plane.name} :: {line.name}")
+        return best
+
+    device = [p for p in xs.planes
+              if any(t in p.name for t in ("TPU", "tpu", "/device:"))]
+    # device planes win ABSOLUTELY over host planes (a host python line can
+    # dwarf a fast device step in raw duration)
+    _, ops, plane_name = pick(device)
+    if not ops:
+        _, ops, plane_name = pick(xs.planes)
     return StepProfile({k: v / steps for k, v in ops.items()},
                        steps=steps, plane=plane_name)
 

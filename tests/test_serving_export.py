@@ -170,3 +170,24 @@ def test_export_bf16_points_input(tmp_path):
     a32 = np.asarray(out32["alignment_score"])
     a16 = np.asarray(out16["alignment_score"])
     np.testing.assert_allclose(a16, a32, rtol=0.05, atol=0.02)
+
+
+def test_kernel_mode_force_platform():
+    """ops/kernel_mode.py: the cross-platform export switch — override wins
+    over the default backend and restores cleanly (also on error)."""
+    from sgaligner_tpu.ops import kernel_mode as km
+
+    assert km.lowering_platform() == jax.default_backend() == "cpu"
+    assert km.interpret() and not km.use_fused("auto")
+    assert km.use_fused("always") and not km.use_fused("never")
+
+    with km.force_platform("tpu"):
+        assert km.lowering_platform() == "tpu"
+        assert not km.interpret()
+        assert km.use_fused("auto") and not km.use_fused("never")
+    assert km.lowering_platform() == "cpu"
+
+    with pytest.raises(RuntimeError):
+        with km.force_platform("tpu"):
+            raise RuntimeError("boom")
+    assert km.lowering_platform() == "cpu"  # restored despite the raise

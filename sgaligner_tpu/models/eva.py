@@ -39,6 +39,23 @@ class EVA(nn.Module):
         embs: dict[str, jnp.ndarray] = {}
         for module in self.modules:
             if module == "point":
+                if "obj_points_pooled" in batch:
+                    # batch-pooled compaction (data/batch.py::pool_compact) —
+                    # same scatter contract as MultiModalEncoder's pooled path
+                    pts = batch["obj_points_pooled"].astype(self.dtype)
+                    pts = pts.reshape(-1, 3, pts.shape[-1])
+                    feat = PointNetEncoder(self.pt_out_dim,
+                                           self.pointnet_bn_mode,
+                                           dtype=self.dtype,
+                                           fused=self.pointnet_fused,
+                                           name="object_encoder")(pts,
+                                                                  train=train)
+                    feat = feat * batch["pooled_mask"][:, None].astype(
+                        feat.dtype)
+                    emb = jnp.zeros((b * two_n, feat.shape[-1]), feat.dtype
+                                    ).at[batch["pooled_flat_idx"]].add(feat)
+                    embs[module] = emb
+                    continue
                 if "obj_points_compact" in batch:
                     from sgaligner_tpu.models.sg_aligner import compact_scatter
 

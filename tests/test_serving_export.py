@@ -191,3 +191,32 @@ def test_kernel_mode_force_platform():
         with km.force_platform("tpu"):
             raise RuntimeError("boom")
     assert km.lowering_platform() == "cpu"  # restored despite the raise
+
+
+def test_eva_pooled_and_artifact(tmp_path):
+    """EVA gains the batch-pooled point path (round 3): pooled == dense
+    forward, and the EVA config exports/serves like the flagship."""
+    cfg = make_cfg(model_name="eva", modules=["point", "gcn", "rel", "attr"])
+    cfg.tpu.max_objects = 8
+    cfg.tpu.points_per_object = 32
+    from sgaligner_tpu.data.batch import pool_compact
+
+    spec = BatchSpec(batch_size=2, max_objects=8, points_per_object=32)
+    host = {k: np.asarray(v)
+            for k, v in make_synthetic_batch(spec, seed=3).items()}
+    pooled = pool_compact(dict(host), bucket=32)
+    model = build_model(cfg, platform="cpu")
+    v = model.init(jax.random.key(0), pooled, train=False)
+
+    e_p = model.apply(v, pooled, train=False)
+    e_d = model.apply(v, host, train=False)
+    for k in e_p:
+        np.testing.assert_allclose(np.asarray(e_p[k]), np.asarray(e_d[k]),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"EVA pooled != dense for '{k}'")
+
+    art = load_serving_artifact(export_serving_artifact(
+        cfg, v["params"], v.get("batch_stats", {}), str(tmp_path / "eva"),
+        batch_size=2, pooled_bucket=32, platforms=("cpu",)))
+    out = art(host)
+    assert np.isfinite(float(np.asarray(out["rr_sum"])))

@@ -119,7 +119,8 @@ def profile_step(fn, steps: int = 3, trace_dir: str | None = None,
 
     for _ in range(warmup):
         out = fn()
-    jax.tree.map(lambda x: np.asarray(jax.device_get(x)), out)
+    if warmup:
+        jax.tree.map(lambda x: np.asarray(jax.device_get(x)), out)
 
     tdir = trace_dir or tempfile.mkdtemp(prefix="sga_prof_")
     with jax.profiler.trace(tdir):

@@ -223,7 +223,7 @@ def train(steps: int = 1000, seed: int = 0, lr: float = 3e-4,
           voxel_size: float = 0.05, max_angle_deg: float = 360.0,
           max_trans: float = 1.0, batch_pairs: int = 8,
           dataset_pairs: int = 0, dataset_cache: str | None = None,
-          verbose: bool = True):
+          init_from: str | None = None, verbose: bool = True):
     """``dataset_pairs > 0`` pregenerates that many pair-preps ONCE and trains
     epochs over them (host synthesis at ~0.2 s/pair would otherwise dominate
     every step on a 1-CPU host; a 2k-pair dataset costs ~7 min up front and
@@ -246,6 +246,12 @@ def train(steps: int = 1000, seed: int = 0, lr: float = 3e-4,
                         b0["src_eig"], b0["ref_eig"],
                         b0["src_pmask"], b0["ref_pmask"],
                         b0["src_mask"], b0["ref_mask"])["params"]
+    if init_from:
+        # fine-tune: warm-start from an existing checkpoint (curriculum
+        # extension runs); the optimizer state starts fresh
+        params = load_checkpoint(init_from)
+        if verbose:
+            print(f"init from {init_from}", flush=True)
     # clipping is essential: unclipped adam at 1e-3 oscillates and never
     # escapes the uniform-assignment plateau (measured)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
@@ -367,10 +373,14 @@ def main(argv=None):
     ap.add_argument("--overlap_hi", type=float, default=0.8)
     ap.add_argument("--dataset_pairs", type=int, default=2048)
     ap.add_argument("--dataset_cache", type=str, default=None)
+    ap.add_argument("--init_from", type=str, default=None,
+                    help="warm-start from an existing checkpoint dir "
+                         "(fine-tune / curriculum extension)")
     args = ap.parse_args(argv)
     train(steps=args.steps, seed=args.seed, lr=args.lr, out_dir=args.out,
           n_super=args.n_super, patch_m=args.patch_m,
           dataset_pairs=args.dataset_pairs, dataset_cache=args.dataset_cache,
+          init_from=args.init_from,
           overlap=(args.overlap_lo, args.overlap_hi))
 
 

@@ -78,35 +78,67 @@ def evaluate(backend, overlaps=(0.3, 0.4, 0.5, 0.6), n_pairs: int = 8,
                 fails += 1
             else:
                 rows.append(r)
-        agg = {}
-        for k in ("CD", "IR", "RRE", "RTE", "n_corrs"):
-            vals = [r[k] for r in rows]
-            agg[k] = float(np.mean(vals)) if vals else float("nan")
-        n = max(n_pairs, 1)
-        for k in ("FMR", "RR", "hit"):
-            agg[k] = float(sum(r[k] for r in rows)) / n
         # error means over REGISTERED-AND-HIT pairs ("typical" quality)
-        hits = [r for r in rows if r["hit"]]
-        agg["RRE_hit"] = float(np.mean([r["RRE"] for r in hits])) if hits else float("nan")
-        agg["RTE_hit"] = float(np.mean([r["RTE"] for r in hits])) if hits else float("nan")
-        agg["hits"] = int(sum(r["hit"] for r in rows))
-        agg["n"] = n_pairs
-        agg["fails"] = fails
-        results[ov] = agg
-        if verbose:
-            print(f"overlap {ov:.1f}: hit {agg['hits']}/{n_pairs}  "
-                  f"CD {agg['CD']:.4f}  RRE {agg['RRE']:.2f}deg  "
-                  f"RTE {agg['RTE'] * 100:.1f}cm  FMR {agg['FMR']:.2f}  "
-                  f"RR {agg['RR']:.2f}  "
-                  f"(hit-only RRE {agg['RRE_hit']:.2f} RTE "
-                  f"{agg['RTE_hit'] * 100:.1f}cm, corrs {agg['n_corrs']:.0f})",
-                  flush=True)
+        results[ov] = _aggregate(rows, fails, n_pairs, ov, verbose)
     return results
+
+
+def evaluate_cloud(backend, cloud, overlaps=(0.3, 0.4, 0.5, 0.6),
+                   n_pairs: int = 8, seed: int = 555_000,
+                   noise: float = 0.005, verbose: bool = True):
+    """The same overlap-band sweep over crops of a PROVIDED cloud (e.g. the
+    reference's real example_data scans) via ``make_pair_from_cloud`` —
+    quality on real scan geometry rather than the synthetic generator."""
+    from sgaligner_tpu.reg.synthetic_pairs import make_pair_from_cloud
+
+    results = {}
+    for ov in overlaps:
+        rows = []
+        fails = 0
+        for p in range(n_pairs):
+            rng = np.random.default_rng((seed, int(ov * 100), p))
+            src, ref, gt, scene = make_pair_from_cloud(
+                rng, cloud, overlap=ov, noise=noise, return_scene=True)
+            r = evaluate_pair(backend, src, ref, gt, scene)
+            if r is None:
+                fails += 1
+            else:
+                rows.append(r)
+        results[ov] = _aggregate(rows, fails, n_pairs, ov, verbose)
+    return results
+
+
+def _aggregate(rows, fails, n_pairs, ov, verbose):
+    agg = {}
+    for k in ("CD", "IR", "RRE", "RTE", "n_corrs"):
+        vals = [r[k] for r in rows]
+        agg[k] = float(np.mean(vals)) if vals else float("nan")
+    n = max(n_pairs, 1)
+    for k in ("FMR", "RR", "hit"):
+        agg[k] = float(sum(r[k] for r in rows)) / n
+    hits = [r for r in rows if r["hit"]]
+    agg["RRE_hit"] = float(np.mean([r["RRE"] for r in hits])) if hits else float("nan")
+    agg["RTE_hit"] = float(np.mean([r["RTE"] for r in hits])) if hits else float("nan")
+    agg["hits"] = int(sum(r["hit"] for r in rows))
+    agg["n"] = n_pairs
+    agg["fails"] = fails
+    if verbose:
+        print(f"overlap {ov:.1f}: hit {agg['hits']}/{n_pairs}  "
+              f"CD {agg['CD']:.4f}  RRE {agg['RRE']:.2f}deg  "
+              f"RTE {agg['RTE'] * 100:.1f}cm  FMR {agg['FMR']:.2f}  "
+              f"RR {agg['RR']:.2f}  "
+              f"(hit-only RRE {agg['RRE_hit']:.2f} RTE "
+              f"{agg['RTE_hit'] * 100:.1f}cm, corrs {agg['n_corrs']:.0f})",
+              flush=True)
+    return agg
 
 
 def main(argv=None):
     import argparse
 
+    from sgaligner_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--checkpoint", type=str, default="checkpoints/geo_reg")
     ap.add_argument("--pairs", type=int, default=8)
@@ -115,13 +147,23 @@ def main(argv=None):
                     default=[0.3, 0.4, 0.5, 0.6])
     ap.add_argument("--no_fine", action="store_true",
                     help="disable the fine point-matching stage (ablation)")
+    ap.add_argument("--cloud", type=str, default=None,
+                    help="structured data.npy scan: evaluate on crops of this"
+                         " REAL cloud instead of synthetic scenes")
     args = ap.parse_args(argv)
 
     from sgaligner_tpu.reg.learned import LearnedBackend
 
     be = LearnedBackend(checkpoint=args.checkpoint, fine=not args.no_fine)
-    evaluate(be, overlaps=tuple(args.overlaps), n_pairs=args.pairs,
-             seed=args.seed)
+    if args.cloud:
+        from sgaligner_tpu.utils.io import load_plydata_npy
+
+        cloud = load_plydata_npy(args.cloud)
+        evaluate_cloud(be, cloud, overlaps=tuple(args.overlaps),
+                       n_pairs=args.pairs, seed=args.seed)
+    else:
+        evaluate(be, overlaps=tuple(args.overlaps), n_pairs=args.pairs,
+                 seed=args.seed)
 
 
 if __name__ == "__main__":

@@ -104,3 +104,39 @@ def make_pair(rng: np.random.Generator, n_points: int = 4096,
     if return_scene:
         return out + (scene.astype(np.float32),)
     return out
+
+
+def make_pair_from_cloud(rng: np.random.Generator, cloud: np.ndarray,
+                         overlap: float = 0.5, noise: float = 0.005,
+                         max_angle_deg: float = 360.0, max_trans: float = 1.0,
+                         keep: float = 0.7, return_scene: bool = False,
+                         _retries: int = 16):
+    """``make_pair`` crop/transform protocol over a PROVIDED cloud (e.g. a
+    real scan): two overlapping half-space crops along a random direction,
+    INDEPENDENTLY subsampled (``keep``) so the views share no exact vertices,
+    sensor noise, and a random rigid on the source view. Returns
+    (src, ref, gt[, scene]) exactly like ``make_pair``."""
+    cloud = np.asarray(cloud, np.float32)
+    for _ in range(_retries):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        proj = cloud @ d
+        lo, hi = proj.min(), proj.max()
+        w = (hi - lo) * (1.0 + overlap) / 2.0
+        ref = cloud[proj <= lo + w]
+        src_world = cloud[proj >= hi - w]
+        ref = ref[rng.random(len(ref)) < keep]
+        src_world = src_world[rng.random(len(src_world)) < keep]
+        if len(ref) >= 256 and len(src_world) >= 256:
+            break
+    else:
+        raise ValueError("cloud too small/degenerate for the requested crops")
+    gt_inv = random_rigid(rng, max_angle_deg, max_trans)
+    src = src_world @ gt_inv[:3, :3].T + gt_inv[:3, 3]
+    src = src + rng.normal(size=src.shape).astype(np.float32) * noise
+    ref = ref + rng.normal(size=ref.shape).astype(np.float32) * noise
+    gt = np.linalg.inv(gt_inv).astype(np.float32)
+    out = (src.astype(np.float32), ref.astype(np.float32), gt)
+    if return_scene:
+        return out + (cloud,)
+    return out

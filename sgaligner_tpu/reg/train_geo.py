@@ -362,6 +362,10 @@ def load_checkpoint(out_dir: str):
 def main(argv=None):
     import argparse
 
+    from sgaligner_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=0)

@@ -56,3 +56,27 @@ def test_unknown_key_warns(tmp_path):
         warnings.simplefilter("always")
         update_config(make_cfg(), str(f), ensure_dir=False)
     assert any("subsan_dir" in str(x.message) for x in w)
+
+
+def test_honor_jax_platforms_env_restores_user_choice():
+    """Site hooks that pre-import jax can overwrite jax_platforms after the
+    env var was consumed (this box's PJRT sitecustomize sets 'axon,cpu'),
+    which then hangs backend init on a dead transport. The helper must make
+    the env var win again (subprocess: config mutation + possible backend
+    init must not leak into the suite)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os; os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'fakeplugin,cpu')\n"
+        "from sgaligner_tpu.core.platform import honor_jax_platforms_env\n"
+        "honor_jax_platforms_env()\n"
+        "assert jax.config.jax_platforms == 'cpu', jax.config.jax_platforms\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout

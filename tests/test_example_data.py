@@ -1,0 +1,154 @@
+"""Real-data tests on the reference's shipped example scenes.
+
+``example_data/scene_{1,2}/data.npy`` (reference README.md demo inputs) are
+the ONLY real 3RScan point clouds available in this environment — every other
+quality test runs on synthetic fixtures. These tests are the in-repo guard the
+round-2 review asked about ("nothing in-repo would catch a data-dependent
+regression, e.g. bucketing dropping objects on real occupancy distributions"):
+the structured-npy loader's record dtype, per-object carving, batch-pooled
+compaction, the point-model forward, and the learned registration backend all
+run on REAL scan geometry and real object-occupancy here.
+
+Skipped wholesale when the reference checkout is not present (the repo remains
+standalone); content is read from /root/reference, never copied in.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+EXAMPLE = "/root/reference/example_data"
+SCENE_1 = os.path.join(EXAMPLE, "scene_1", "data.npy")
+SCENE_2 = os.path.join(EXAMPLE, "scene_2", "data.npy")
+CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "checkpoints", "geo_reg")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(SCENE_1) and os.path.exists(SCENE_2)),
+    reason="reference example_data not present")
+
+
+def test_real_data_npy_loader_and_record_dtype():
+    """load_plydata_npy on the real structured arrays: field set, dtypes, and
+    objectId-filtered subset behavior (reference utils/scan3r.py:98-114)."""
+    from sgaligner_tpu.utils.io import load_plydata_npy
+
+    for path, n in ((SCENE_1, 21419), (SCENE_2, 26921)):
+        points, ply = load_plydata_npy(path, return_ply_data=True)
+        assert points.shape == (n, 3)
+        assert np.isfinite(points).all()
+        names = set(ply.dtype.names)
+        assert {"x", "y", "z", "red", "green", "blue", "objectId",
+                "globalId", "NYU40", "Eigen13", "RIO27"} <= names
+        # filtered load returns exactly the rows of one object
+        oid = int(np.unique(ply["objectId"][ply["objectId"] != 0])[0])
+        sub = load_plydata_npy(path, obj_ids=oid)
+        assert len(sub) == int((ply["objectId"] == oid).sum()) > 0
+
+
+def _carve(path, pc_res=64, min_points=50, seed=42):
+    from sgaligner_tpu.cli.demo_align import objects_from_npy
+    rng = np.random.default_rng(seed)
+    return objects_from_npy(path, pc_res, min_points, rng)
+
+
+def test_real_occupancy_pooled_compaction_drops_nothing():
+    """Batch-pooled compaction on the REAL per-scene object occupancy
+    (31 and 20 objects >= 50 pts): every real object must survive pooling and
+    the point embeddings must match the dense padded path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgaligner_tpu.data.batch import (BatchSpec, collate, pack_pair,
+                                          pool_compact)
+    from sgaligner_tpu.models.sg_aligner import MultiModalEncoder
+
+    ids1, pts1 = _carve(SCENE_1)
+    ids2, pts2 = _carve(SCENE_2)
+    assert len(ids1) >= 25 and len(ids2) >= 15  # real occupancy, not a toy
+
+    spec = BatchSpec(1, 32, pts1.shape[1])
+
+    def pair(src_ids, src_pts, ref_ids, ref_pts):
+        z = np.zeros
+        return pack_pair(
+            spec, src_points=src_pts, ref_points=ref_pts,
+            src_bow_rel=z((len(src_ids), spec.rel_dim), np.float32),
+            ref_bow_rel=z((len(ref_ids), spec.rel_dim), np.float32),
+            src_bow_attr=z((len(src_ids), spec.attr_dim), np.float32),
+            ref_bow_attr=z((len(ref_ids), spec.attr_dim), np.float32),
+            src_rel_pose=z((len(src_ids), 3), np.float32),
+            ref_rel_pose=z((len(ref_ids), 3), np.float32),
+            src_edges=z((0, 2), np.int64), ref_edges=z((0, 2), np.int64),
+            e1i=z(0, np.int64), e2i=z(0, np.int64),
+            e1j=np.arange(len(src_ids)), e2j=np.arange(len(ref_ids)),
+            src_obj_ids=src_ids, ref_obj_ids=ref_ids)
+
+    batch = collate([pair(ids1, pts1, ids2, pts2),
+                     pair(ids2, pts2, ids1, pts1)])
+    batch = {k: np.asarray(v) for k, v in batch.items()}
+    pooled = pool_compact(batch, bucket=32)
+
+    # no real object dropped: the pooled axis holds every valid slot
+    n_real = int(batch["obj_mask"].sum())
+    assert int(pooled["pooled_mask"].sum()) == n_real == 2 * (len(ids1) + len(ids2))
+
+    model = MultiModalEncoder(modules=("point",), dtype=jnp.float32)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    jp = {k: jnp.asarray(v) for k, v in pooled.items()}
+    params = model.init(jax.random.key(0), jb, train=False)
+    out_dense = model.apply(params, jb, train=False)
+    out_pool = model.apply(params, jp, train=False)
+    valid = np.asarray(batch["obj_mask"].reshape(-1))
+    np.testing.assert_allclose(np.asarray(out_dense["point"])[valid],
+                               np.asarray(out_pool["point"])[valid],
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_demo_align_cli_on_real_scenes(capsys):
+    """The README demo path end-to-end on the real pair: carving, device FPS,
+    packing, point-model forward, similarity ranks, alignment score."""
+    from sgaligner_tpu.cli import demo_align
+
+    rc = demo_align.main(["--src", SCENE_1, "--ref", SCENE_2,
+                          "--pc_res", "64", "--min_obj_points", "50"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    payload = json.loads(out[out.index("{"):])
+    assert payload["src_objects"] >= 25 and payload["ref_objects"] >= 15
+    assert np.isfinite(payload["alignment_score"])
+    # parity semantics (ref utils/alignment.py:59-70): only src objects whose
+    # top-1 lands on the ref side are kept, so <= src_objects matches
+    matches = payload["node_matches(src_obj_id -> ref_obj_id)"]
+    assert 1 <= len(matches) <= payload["src_objects"]
+    src_ids = set(_carve(SCENE_1)[0].tolist())
+    ref_ids = set(_carve(SCENE_2)[0].tolist())
+    assert all(int(m[0]) in src_ids and int(m[1]) in ref_ids for m in matches)
+
+
+@pytest.mark.skipif(not os.path.isdir(CKPT),
+                    reason="pretrained geo_reg checkpoint not present")
+def test_learned_registration_on_real_scan_geometry():
+    """The shipped geo_reg checkpoint (trained purely on synthetic scenes)
+    must register REAL scan geometry: scene_1 split into two ~60%-overlap
+    partial views, one under a large known SE(3) + independent subsampling +
+    sensor-scale noise. Guards against the synthetic-only failure mode where
+    features latch onto generator artifacts."""
+    from sgaligner_tpu.reg.learned import LearnedBackend
+    from sgaligner_tpu.reg.metrics import compute_registration_error
+    from sgaligner_tpu.reg.synthetic_pairs import make_pair_from_cloud
+    from sgaligner_tpu.utils.io import load_plydata_npy
+
+    cloud = load_plydata_npy(SCENE_1)
+    rng = np.random.default_rng(7)
+    src, ref, gt = make_pair_from_cloud(rng, cloud, overlap=0.4)
+
+    be = LearnedBackend(checkpoint=CKPT)
+    result = be.register(src, ref)
+    assert result is not None
+    rre, rte = compute_registration_error(gt, result["estimated_transform"])
+    assert rre < 5.0, f"RRE {rre:.2f} deg on real geometry"
+    assert rte < 0.10, f"RTE {rte*100:.1f} cm on real geometry"
+    assert len(result["src_corr_points"]) >= 12

@@ -61,7 +61,8 @@ def evaluate_pair(backend, src, ref, gt, scene, ir_thresh: float = 0.05,
 
 
 def evaluate(backend, overlaps=(0.3, 0.4, 0.5, 0.6), n_pairs: int = 8,
-             seed: int = 777_000, n_points: int = 2048, verbose: bool = True):
+             seed: int = 777_000, n_points: int = 2048,
+             scene_kind: str = "patches", verbose: bool = True):
     """Sweep overlap bands; returns {overlap: {metric: mean}} (failed
     registrations count 0 toward FMR/RR/hit and are excluded from the
     error means)."""
@@ -72,7 +73,8 @@ def evaluate(backend, overlaps=(0.3, 0.4, 0.5, 0.6), n_pairs: int = 8,
         for p in range(n_pairs):
             rng = np.random.default_rng((seed, int(ov * 100), p))
             src, ref, gt, scene = make_pair(rng, n_points=n_points,
-                                            overlap=ov, return_scene=True)
+                                            overlap=ov, return_scene=True,
+                                            kind=scene_kind)
             r = evaluate_pair(backend, src, ref, gt, scene)
             if r is None:
                 fails += 1
@@ -147,6 +149,8 @@ def main(argv=None):
                     default=[0.3, 0.4, 0.5, 0.6])
     ap.add_argument("--no_fine", action="store_true",
                     help="disable the fine point-matching stage (ablation)")
+    ap.add_argument("--scene_kind", type=str, default="patches",
+                    choices=["patches", "room", "mix"])
     ap.add_argument("--cloud", type=str, default=None,
                     help="structured data.npy scan: evaluate on crops of this"
                          " REAL cloud instead of synthetic scenes")
@@ -163,7 +167,7 @@ def main(argv=None):
                        n_pairs=args.pairs, seed=args.seed)
     else:
         evaluate(be, overlaps=tuple(args.overlaps), n_pairs=args.pairs,
-                 seed=args.seed)
+                 seed=args.seed, scene_kind=args.scene_kind)
 
 
 if __name__ == "__main__":

@@ -213,7 +213,9 @@ class LearnedBackend:
                  top_pairs: int = 24, inlier_thresh: float = 0.15,
                  refine_icp: bool = True, seed: int = 0,
                  fine: bool = True, fine_score_thresh: float = 0.2,
-                 min_fine_corrs: int = 12):
+                 min_fine_corrs: int = 12, hypotheses: int = 3,
+                 max_refine: int = 3, retries: int = 2,
+                 retry_score_thresh: float = 0.45):
         import jax
 
         if params is None and checkpoint is not None:
@@ -246,6 +248,10 @@ class LearnedBackend:
         self.fine = fine
         self.fine_score_thresh = fine_score_thresh
         self.min_fine_corrs = min_fine_corrs
+        self.hypotheses = hypotheses
+        self.max_refine = max_refine
+        self.retries = retries
+        self.retry_score_thresh = retry_score_thresh
         model = GeoRegModel(cfg)
         self._apply = jax.jit(partial(model.apply, {"params": params}))
         from sgaligner_tpu.reg.geo_model import fine_log_assign
@@ -255,7 +261,28 @@ class LearnedBackend:
 
     def register(self, src_points: np.ndarray, ref_points: np.ndarray,
                  gt_transform: np.ndarray | None = None) -> dict | None:
-        rng = np.random.default_rng(self.seed)
+        """Score-gated re-seeded attempts: FPS superpoint placement is the
+        luck factor on feature-poor (planar, self-similar) scans — a retry
+        with different superpoints/patches often lands >=3 good
+        correspondences where the first draw landed 1-2 (measured on the
+        real example scans). Retries only trigger while the verification
+        score stays below ``retry_score_thresh``, so easy pairs pay one
+        attempt."""
+        best = None
+        for attempt in range(1 + self.retries):
+            res = self._register_once(src_points, ref_points,
+                                      seed=self.seed + 1009 * attempt)
+            if res is None:
+                continue
+            if best is None or res["fit_score"] > best["fit_score"]:
+                best = res
+            if best["fit_score"] >= self.retry_score_thresh:
+                break
+        return best
+
+    def _register_once(self, src_points: np.ndarray, ref_points: np.ndarray,
+                       seed: int) -> dict | None:
+        rng = np.random.default_rng(seed)
         src = _prep_cloud(src_points, self.n_super, self.patch_m,
                           self.voxel_size, self.max_points, rng)
         ref = _prep_cloud(ref_points, self.n_super, self.patch_m,
@@ -286,26 +313,23 @@ class LearnedBackend:
             if fine is not None and len(fine[0]) < self.min_fine_corrs:
                 fine = None
 
-        from sgaligner_tpu.reg.ransac import find_rigid_transform
+        from sgaligner_tpu.reg.ransac import find_rigid_transforms_topk
         from sgaligner_tpu.utils.pointcloud import (apply_transform,
                                                     get_nearest_neighbor)
 
-        def fit_and_refine(pts_s, pts_r, w, thresh):
-            est, _ = find_rigid_transform(pts_s, pts_r, threshold=thresh,
-                                          max_iters=1000, seed=self.seed)
-            if est is None:
-                est = weighted_kabsch(pts_s, pts_r, w)
-            if self.refine_icp:
-                from sgaligner_tpu.reg.icp import icp_refine_host
+        def icp_refine(est):
+            if not self.refine_icp:
+                return est
+            from sgaligner_tpu.reg.icp import icp_refine_host
 
-                # coarse->fine trim schedule: a wide first pass pulls a
-                # decimeter-off init into the basin; the tight second pass
-                # stops non-overlap points from biasing the translation
-                for trim in (6.0, 2.0, 1.0):
-                    est, _ = icp_refine_host(
-                        src["points"], ref["points"], init_transform=est,
-                        iters=10, max_corr_dist=trim * self.voxel_size,
-                        seed=self.seed)
+            # coarse->fine trim schedule: a wide first pass pulls a
+            # decimeter-off init into the basin; the tight second pass
+            # stops non-overlap points from biasing the translation
+            for trim in (6.0, 2.0, 1.0):
+                est, _ = icp_refine_host(
+                    src["points"], ref["points"], init_transform=est,
+                    iters=10, max_corr_dist=trim * self.voxel_size,
+                    seed=seed)
             return est
 
         def fit_score(est):
@@ -315,21 +339,40 @@ class LearnedBackend:
             d = get_nearest_neighbor(moved, ref["points"])
             return float((d < 2.0 * self.voxel_size).mean())
 
-        # candidate transforms: dense fine correspondences (tight RANSAC
-        # threshold — they are voxel-accurate) and superpoint centers (loose);
-        # keep whichever actually aligns the clouds best
-        candidates = []
+        # candidate transforms: a DIVERSE top-k of RANSAC consensus clusters
+        # from the dense fine correspondences (tight threshold — they are
+        # voxel-accurate) and from the superpoint centers (loose). Under low
+        # overlap the LARGEST consensus is often a wrong self-similarity
+        # cluster while the right one ranks 2nd/3rd — verification against
+        # the raw clouds (fit_score) picks reliably once the right cluster is
+        # in the pool (measured: in 6/6 low-overlap misses of the
+        # single-winner scheme, gt outscored the chosen fit).
+        hyps = []
         if fine is not None:
             f_thresh = max(1.5 * self.voxel_size, 0.075)
-            est_f = fit_and_refine(fine[0], fine[1], fine[2], f_thresh)
-            candidates.append((fit_score(est_f), est_f, fine))
-        est_c = fit_and_refine(src_c, ref_c, scores, self.inlier_thresh)
-        candidates.append((fit_score(est_c), est_c, (src_c, ref_c, scores)))
-        _, est, (src_c, ref_c, scores) = max(candidates, key=lambda c: c[0])
+            for tf in find_rigid_transforms_topk(
+                    fine[0], fine[1], threshold=f_thresh, k=self.hypotheses,
+                    max_iters=1000, seed=seed):
+                hyps.append((tf, fine))
+        for tf in find_rigid_transforms_topk(
+                src_c, ref_c, threshold=self.inlier_thresh, k=self.hypotheses,
+                max_iters=1000, seed=seed):
+            hyps.append((tf, (src_c, ref_c, scores)))
+        if not hyps:
+            hyps = [(weighted_kabsch(src_c, ref_c, scores),
+                     (src_c, ref_c, scores))]
+
+        # cheap pre-score picks the ICP budget's worth of candidates
+        pre = sorted(hyps, key=lambda h: -fit_score(h[0]))[: self.max_refine]
+        scored = [(fit_score(est), est, corrs)
+                  for tf, corrs in pre for est in (icp_refine(tf),)]
+        best_score, est, (src_c, ref_c, scores) = max(scored,
+                                                      key=lambda c: c[0])
 
         return {
             "estimated_transform": est,
             "src_corr_points": src_c,
             "ref_corr_points": ref_c,
             "corr_scores": scores,
+            "fit_score": best_score,
         }

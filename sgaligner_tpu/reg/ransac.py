@@ -106,6 +106,107 @@ def ransac_rigid_transform(
     return best_tf, final_inliers
 
 
+@partial(jax.jit, static_argnames=("iters", "chunk"))
+def ransac_hypotheses(
+    src: jnp.ndarray,            # [N, 3] correspondences (src side, padded ok)
+    ref: jnp.ndarray,            # [N, 3]
+    mask: jnp.ndarray,           # [N]
+    key: jnp.ndarray,
+    threshold: float = 0.03,
+    iters: int = 5000,
+    chunk: int = 256,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ALL minimal-set hypotheses with their inlier counts: (tfs [iters,4,4],
+    scores [iters]). Multi-modal consensus shows up as several distinct
+    high-scoring clusters — the single-winner reduction in
+    ``ransac_rigid_transform`` keeps only the largest, which under low
+    overlap is often a wrong self-similarity consensus; callers that can
+    VERIFY candidates against the raw clouds should instead pick from a
+    diverse top-k of these (``find_rigid_transforms_topk``)."""
+    n = src.shape[0]
+    maskf = mask.astype(src.dtype)
+    g = jax.random.gumbel(key, (iters, n)) + jnp.where(mask, 0.0, -1e30)[None]
+    _, samples = jax.lax.top_k(g, 3)
+
+    def score_chunk(_, idx_chunk):
+        tfs = jax.vmap(kabsch)(src[idx_chunk], ref[idx_chunk])
+        res = jax.vmap(lambda tf: _residuals(src, ref, tf))(tfs)
+        scores = ((res < threshold) * maskf).sum(-1)
+        return None, (tfs, scores)
+
+    n_chunks = -(-iters // chunk)
+    pad = n_chunks * chunk - iters
+    samples = jnp.concatenate([samples, samples[:pad]], axis=0) if pad else samples
+    _, (tfs, scores) = jax.lax.scan(score_chunk, None,
+                                    samples.reshape(n_chunks, chunk, 3))
+    return tfs.reshape(-1, 4, 4)[:iters], scores.reshape(-1)[:iters]
+
+
+def _se3_distinct(tf: np.ndarray, kept: list[np.ndarray],
+                  rot_deg: float, trans: float) -> bool:
+    for k in kept:
+        r = tf[:3, :3] @ k[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1)))
+        dt = np.linalg.norm(tf[:3, 3] - k[:3, 3])
+        if ang < rot_deg and dt < trans:
+            return False
+    return True
+
+
+def find_rigid_transforms_topk(
+    src_corr: np.ndarray,
+    ref_corr: np.ndarray,
+    threshold: float = 0.03,
+    k: int = 3,
+    max_iters: int = 5000,
+    seed: int = 0,
+    min_inliers: int = 3,
+    rot_deg: float = 15.0,
+    trans: float = 0.3,
+    refine_steps: int = 3,
+) -> list[np.ndarray]:
+    """Top-k RANSAC fits from DISTINCT consensus clusters (greedy SE(3)
+    non-max suppression over hypothesis score), each refined by inlier
+    reweighting. Host-side; correspondence sets here are small (tens to a
+    few hundred). Returns [] when no 3-point consensus exists."""
+    n = len(src_corr)
+    if n < 3:
+        return []
+    bucket = 1 << max(int(np.ceil(np.log2(n))), 6)
+    src_p = np.zeros((bucket, 3), np.float32)
+    ref_p = np.zeros((bucket, 3), np.float32)
+    mask = np.zeros(bucket, bool)
+    src_p[:n], ref_p[:n], mask[:n] = src_corr, ref_corr, True
+
+    tfs, scores = ransac_hypotheses(
+        jnp.asarray(src_p), jnp.asarray(ref_p), jnp.asarray(mask),
+        jax.random.key(seed), threshold=threshold, iters=max_iters)
+    tfs = np.asarray(tfs, np.float64)
+    scores = np.asarray(scores)
+
+    out: list[np.ndarray] = []
+    for i in np.argsort(-scores):
+        if scores[i] < min_inliers:
+            break
+        tf = tfs[i]
+        if not _se3_distinct(tf, out, rot_deg, trans):
+            continue
+        for _ in range(refine_steps):
+            res = np.linalg.norm(
+                src_corr @ tf[:3, :3].T + tf[:3, 3] - ref_corr, axis=-1)
+            w = (res < threshold).astype(np.float64)
+            if w.sum() < 3:
+                break
+            tf = np.asarray(kabsch(jnp.asarray(src_corr, jnp.float32),
+                                   jnp.asarray(ref_corr, jnp.float32),
+                                   jnp.asarray(w, jnp.float32)), np.float64)
+        if _se3_distinct(tf, out, rot_deg, trans) or not out:
+            out.append(tf)
+        if len(out) >= k:
+            break
+    return out
+
+
 def find_rigid_transform(
     src_corr: np.ndarray,
     ref_corr: np.ndarray,

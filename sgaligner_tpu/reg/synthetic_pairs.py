@@ -67,18 +67,112 @@ def make_scene(rng: np.random.Generator, n_points: int = 4096,
     return pts.astype(np.float32)
 
 
+def make_scene_room(rng: np.random.Generator, n_points: int = 4096
+                    ) -> np.ndarray:
+    """Indoor-room scene: floor + partial walls + furniture-like clutter.
+
+    The patch-union generator (``make_scene``) is feature-rich everywhere;
+    REAL scans (e.g. the reference's example_data) are dominated by large
+    self-similar planar surfaces where superpoint patches are locally
+    indistinguishable — the measured failure mode of the matcher on real
+    geometry. This family reproduces that hardness for training."""
+    w, d = rng.uniform(3.0, 6.0, size=2)
+    h = rng.uniform(2.2, 3.0)
+    surfaces = []  # (area_weight, sampler(count) -> [c, 3])
+
+    def rect(origin, eu, ev, a, b):
+        origin, eu, ev = map(np.asarray, (origin, eu, ev))
+
+        def sample(c):
+            uv = rng.uniform(0, 1, size=(c, 2))
+            return origin + uv[:, :1] * eu * a + uv[:, 1:] * ev * b
+        return sample
+
+    surfaces.append((w * d, rect([0, 0, 0], [1, 0, 0], [0, 1, 0], w, d)))
+    for origin, eu, span in (([0, 0, 0], [1, 0, 0], w),
+                             ([0, d, 0], [1, 0, 0], w),
+                             ([0, 0, 0], [0, 1, 0], d),
+                             ([w, 0, 0], [0, 1, 0], d)):
+        if rng.random() < 0.85:
+            cover = rng.uniform(0.5, 1.0)
+            start = rng.uniform(0, 1 - cover)
+            o = np.asarray(origin, float) + np.asarray(eu, float) * start * span
+            surfaces.append((cover * span * h,
+                             rect(o, eu, [0, 0, 1], cover * span, h)))
+    wall_area = sum(a for a, _ in surfaces)
+
+    clutter = []
+    for _ in range(rng.integers(6, 14)):
+        cx, cy = rng.uniform(0.3, 1.0) * w * 0.9, rng.uniform(0.3, 1.0) * d * 0.9
+        kind = rng.integers(3)
+        yaw = rng.uniform(0, 2 * np.pi)
+        eu = np.array([np.cos(yaw), np.sin(yaw), 0.0])
+        ev = np.array([-np.sin(yaw), np.cos(yaw), 0.0])
+        if kind == 0:          # box: top + 4 sides
+            a, b = rng.uniform(0.3, 1.2, size=2)
+            hh = rng.uniform(0.3, 1.1)
+            o = np.array([cx, cy, 0.0]) - (eu * a + ev * b) / 2
+            clutter.append((a * b, rect(o + [0, 0, hh], eu, ev, a, b)))
+            for oo, u, s in ((o, eu, a), (o + ev * b, eu, a),
+                             (o, ev, b), (o + eu * a, ev, b)):
+                clutter.append((s * hh, rect(oo, u, [0, 0, 1], s, hh)))
+        elif kind == 1:        # vertical cylinder shell
+            radius = rng.uniform(0.1, 0.4)
+            hh = rng.uniform(0.4, 1.2)
+
+            def cyl(c, cx=cx, cy=cy, radius=radius, hh=hh):
+                th = rng.uniform(0, 2 * np.pi, size=c)
+                z = rng.uniform(0, hh, size=c)
+                return np.stack([cx + radius * np.cos(th),
+                                 cy + radius * np.sin(th), z], axis=1)
+            clutter.append((2 * np.pi * radius * hh, cyl))
+        else:                  # elevated slab (table/shelf top)
+            a, b = rng.uniform(0.4, 1.4, size=2)
+            z0 = rng.uniform(0.4, 1.4)
+            o = np.array([cx, cy, z0]) - (eu * a + ev * b) / 2
+            clutter.append((a * b, rect(o, eu, ev, a, b)))
+    clutter_area = sum(a for a, _ in clutter) or 1.0
+
+    # density bias: clutter gets ~half the points despite much smaller area
+    # (real scans oversample furniture relative to bare walls)
+    pts = []
+    n_walls = int(n_points * 0.55)
+    n_clutter = n_points - n_walls
+    for group, total, budget in ((surfaces, wall_area, n_walls),
+                                 (clutter, clutter_area, n_clutter)):
+        for area, sampler in group:
+            # ceil so the trimmed union never undershoots n_points
+            c = max(int(np.ceil(budget * area / total)), 4)
+            pts.append(sampler(c))
+    pts = np.concatenate(pts)
+    pts = pts[rng.permutation(len(pts))[:n_points]]
+    pts = pts - pts.mean(axis=0)
+    return pts.astype(np.float32)
+
+
 def make_pair(rng: np.random.Generator, n_points: int = 4096,
               overlap: float = 0.6, noise: float = 0.005,
               max_angle_deg: float = 360.0, max_trans: float = 1.0,
-              return_scene: bool = False):
+              return_scene: bool = False, kind: str = "patches"):
     """Returns (src [n,3], ref [m,3], gt_transform src->ref frame)
     (+ the raw scene cloud in the ref frame when ``return_scene`` —
     the "raw scan" role in the modified-chamfer metric).
 
     Crops two overlapping half-spaces of a scene; the SOURCE crop is expressed
     in its own (randomly transformed) frame; gt maps src coords to ref coords.
+
+    ``kind``: "patches" (default, the original feature-rich generator),
+    "room" (planar indoor scenes, ``make_scene_room``), or "mix" (50/50 per
+    pair). The default leaves the rng stream and therefore every existing
+    held-out eval unchanged.
     """
-    scene = make_scene(rng, n_points=int(n_points / max(overlap, 0.3)) + 256)
+    n_scene = int(n_points / max(overlap, 0.3)) + 256
+    if kind == "mix":
+        kind = "room" if rng.random() < 0.5 else "patches"
+    if kind == "room":
+        scene = make_scene_room(rng, n_points=n_scene)
+    else:
+        scene = make_scene(rng, n_points=n_scene)
     d = rng.normal(size=3)
     d /= np.linalg.norm(d)
     proj = scene @ d
@@ -93,7 +187,7 @@ def make_pair(rng: np.random.Generator, n_points: int = 4096,
     src_world = scene[src_sel]
     if len(ref) < 64 or len(src_world) < 64:  # degenerate crop: retry
         return make_pair(rng, n_points, overlap, noise, max_angle_deg,
-                         max_trans, return_scene)
+                         max_trans, return_scene, kind)
     gt_inv = random_rigid(rng, max_angle_deg, max_trans)  # world -> src frame
     src = src_world @ gt_inv[:3, :3].T + gt_inv[:3, 3]
     src = src + rng.normal(size=src.shape).astype(np.float32) * noise

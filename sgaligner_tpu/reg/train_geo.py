@@ -93,7 +93,8 @@ def _prep_training_pair(rng, cfg_prep):
     src_pts, ref_pts, gt = make_pair(
         rng, n_points=cfg_prep["n_points"], overlap=ov,
         max_angle_deg=cfg_prep["max_angle_deg"],
-        max_trans=cfg_prep["max_trans"])
+        max_trans=cfg_prep["max_trans"],
+        kind=cfg_prep.get("scene_kind", "patches"))
     src = _prep_cloud(src_pts, cfg_prep["n_super"], cfg_prep["patch_m"],
                       cfg_prep["voxel_size"], cfg_prep["max_points"], rng)
     ref = _prep_cloud(ref_pts, cfg_prep["n_super"], cfg_prep["patch_m"],
@@ -223,7 +224,8 @@ def train(steps: int = 1000, seed: int = 0, lr: float = 3e-4,
           voxel_size: float = 0.05, max_angle_deg: float = 360.0,
           max_trans: float = 1.0, batch_pairs: int = 8,
           dataset_pairs: int = 0, dataset_cache: str | None = None,
-          init_from: str | None = None, verbose: bool = True):
+          init_from: str | None = None, scene_kind: str = "patches",
+          verbose: bool = True):
     """``dataset_pairs > 0`` pregenerates that many pair-preps ONCE and trains
     epochs over them (host synthesis at ~0.2 s/pair would otherwise dominate
     every step on a 1-CPU host; a 2k-pair dataset costs ~7 min up front and
@@ -236,7 +238,8 @@ def train(steps: int = 1000, seed: int = 0, lr: float = 3e-4,
             "overlap": overlap, "voxel_size": voxel_size,
             "max_points": 8192, "match_radius": 3.0 * voxel_size,
             "fine_radius": 1.5 * voxel_size, "fine_k": min(n_super, 32),
-            "max_angle_deg": max_angle_deg, "max_trans": max_trans}
+            "max_angle_deg": max_angle_deg, "max_trans": max_trans,
+            "scene_kind": scene_kind}
     rng = np.random.default_rng(seed)
     model = GeoRegModel(cfg)
     b0, _ = _prep_training_pair(rng, prep)
@@ -380,11 +383,15 @@ def main(argv=None):
     ap.add_argument("--init_from", type=str, default=None,
                     help="warm-start from an existing checkpoint dir "
                          "(fine-tune / curriculum extension)")
+    ap.add_argument("--scene_kind", type=str, default="patches",
+                    choices=["patches", "room", "mix"],
+                    help="synthetic scene family (room = planar indoor "
+                         "scenes matching real-scan hardness)")
     args = ap.parse_args(argv)
     train(steps=args.steps, seed=args.seed, lr=args.lr, out_dir=args.out,
           n_super=args.n_super, patch_m=args.patch_m,
           dataset_pairs=args.dataset_pairs, dataset_cache=args.dataset_cache,
-          init_from=args.init_from,
+          init_from=args.init_from, scene_kind=args.scene_kind,
           overlap=(args.overlap_lo, args.overlap_hi))
 
 

@@ -80,3 +80,37 @@ def test_mosaicking_error_perfect():
     res = compute_mosaicking_error(pts, pts)
     assert res["prec"] == 1.0 and res["recall"] == 1.0
     assert res["fscore"] == 1.0 and res["acc"] < 1e-9
+
+
+def test_topk_hypotheses_surface_minority_consensus():
+    """Two rigid consensus clusters in one correspondence set: the wrong one
+    has MORE support (the low-overlap self-similarity failure mode). The
+    single-winner estimator must pick the majority; the diverse top-k must
+    ALSO contain the minority transform so a downstream verifier can save
+    the registration."""
+    from sgaligner_tpu.reg.ransac import find_rigid_transforms_topk
+
+    rng = np.random.default_rng(0)
+    t_wrong, t_right = np.eye(4), np.eye(4)
+    t_wrong[:3, :3] = Rotation.from_euler("xyz", [60, 10, -20],
+                                          degrees=True).as_matrix()
+    t_wrong[:3, 3] = [0.8, -0.3, 0.5]
+    t_right[:3, :3] = Rotation.from_euler("xyz", [-130, 40, 95],
+                                          degrees=True).as_matrix()
+    t_right[:3, 3] = [-0.5, 0.6, -0.2]
+
+    src = rng.normal(size=(100, 3)).astype(np.float32)
+    ref = np.empty_like(src)
+    ref[:60] = apply_transform(src[:60], t_wrong)
+    ref[60:] = apply_transform(src[60:], t_right)
+    ref += rng.normal(size=ref.shape).astype(np.float32) * 0.002
+
+    est, _ = find_rigid_transform(src, ref, threshold=0.02, seed=1)
+    rre_w, _ = compute_registration_error(t_wrong, est)
+    assert rre_w < 2.0, "single winner should latch onto the majority cluster"
+
+    tfs = find_rigid_transforms_topk(src, ref, threshold=0.02, k=3, seed=1)
+    assert len(tfs) >= 2
+    errs_right = [compute_registration_error(t_right, t)[0] for t in tfs]
+    assert min(errs_right) < 2.0, (
+        f"minority consensus missing from top-k (RREs vs right: {errs_right})")

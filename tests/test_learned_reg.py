@@ -172,3 +172,37 @@ def test_learned_backend_via_config_factory():
     cfg.reg_model.backend = "learned"
     be = build_backend(cfg)
     assert isinstance(be, LearnedBackend)
+
+
+def test_eval_sweep_forwards_scene_kind(monkeypatch):
+    """evaluate(scene_kind=...) must reach make_pair's kind argument —
+    regression for the sweep silently evaluating the default family."""
+    from sgaligner_tpu.reg import eval_geo
+
+    seen = []
+
+    def fake_make_pair(rng, n_points, overlap, return_scene, kind):
+        seen.append(kind)
+        raise StopIteration  # one call is enough
+
+    monkeypatch.setattr(eval_geo, "make_pair", fake_make_pair)
+    with pytest.raises(StopIteration):
+        eval_geo.evaluate(backend=None, overlaps=(0.5,), n_pairs=1,
+                          scene_kind="room", verbose=False)
+    assert seen == ["room"]
+
+
+def test_make_scene_room_geometry():
+    """Room scenes: bounded extent, dominated by planar structure (floor at a
+    single z after centering), and exactly n_points."""
+    from sgaligner_tpu.reg.synthetic_pairs import make_scene_room
+
+    rng = np.random.default_rng(11)
+    pts = make_scene_room(rng, n_points=3000)
+    assert pts.shape == (3000, 3)
+    assert np.isfinite(pts).all()
+    ext = pts.max(0) - pts.min(0)
+    assert (ext < 10.0).all() and (ext > 1.0).all()
+    # floor plane: the lowest z value is shared by many points
+    z = np.round(pts[:, 2] - pts[:, 2].min(), 3)
+    assert (z < 0.005).mean() > 0.10

@@ -39,10 +39,9 @@ def gt_point_corrs(src, ref, gt, radius: float = 0.02):
     return src[sel], ref[idx[sel]]
 
 
-def evaluate_pair(backend, src, ref, gt, scene, ir_thresh: float = 0.05,
-                  rmse_thresh: float = 0.2):
-    """Metric dict for one pair (None if the backend declines)."""
-    out = backend.register(src, ref)
+def metrics_for_pair(out, src, ref, gt, scene, ir_thresh: float = 0.05,
+                     rmse_thresh: float = 0.2):
+    """Metric dict for one registered pair (None if the backend declined)."""
     if out is None:
         return None
     est = out["estimated_transform"]
@@ -60,6 +59,35 @@ def evaluate_pair(backend, src, ref, gt, scene, ir_thresh: float = 0.05,
     }
 
 
+def evaluate_pair(backend, src, ref, gt, scene, ir_thresh: float = 0.05,
+                  rmse_thresh: float = 0.2):
+    """Register + metric dict for one pair (None if the backend declines)."""
+    return metrics_for_pair(backend.register(src, ref), src, ref, gt, scene,
+                            ir_thresh, rmse_thresh)
+
+
+def _register_all(backend, quads):
+    """Register [(src, ref, gt, scene)] — one batched call when the backend
+    supports it (LearnedBackend.register_batch: one device dispatch per
+    stage per retry round for the whole band)."""
+    if hasattr(backend, "register_batch"):
+        return backend.register_batch([(s, r) for s, r, _, _ in quads])
+    return [backend.register(s, r) for s, r, _, _ in quads]
+
+
+def _evaluate_band(backend, quads, ov, verbose):
+    outs = _register_all(backend, quads)
+    rows, fails = [], 0
+    for out, (src, ref, gt, scene) in zip(outs, quads):
+        r = metrics_for_pair(out, src, ref, gt, scene)
+        if r is None:
+            fails += 1
+        else:
+            rows.append(r)
+    # error means over REGISTERED-AND-HIT pairs ("typical" quality)
+    return _aggregate(rows, fails, len(quads), ov, verbose)
+
+
 def evaluate(backend, overlaps=(0.3, 0.4, 0.5, 0.6), n_pairs: int = 8,
              seed: int = 777_000, n_points: int = 2048,
              scene_kind: str = "patches", verbose: bool = True):
@@ -68,20 +96,12 @@ def evaluate(backend, overlaps=(0.3, 0.4, 0.5, 0.6), n_pairs: int = 8,
     error means)."""
     results = {}
     for ov in overlaps:
-        rows = []
-        fails = 0
+        quads = []
         for p in range(n_pairs):
             rng = np.random.default_rng((seed, int(ov * 100), p))
-            src, ref, gt, scene = make_pair(rng, n_points=n_points,
-                                            overlap=ov, return_scene=True,
-                                            kind=scene_kind)
-            r = evaluate_pair(backend, src, ref, gt, scene)
-            if r is None:
-                fails += 1
-            else:
-                rows.append(r)
-        # error means over REGISTERED-AND-HIT pairs ("typical" quality)
-        results[ov] = _aggregate(rows, fails, n_pairs, ov, verbose)
+            quads.append(make_pair(rng, n_points=n_points, overlap=ov,
+                                   return_scene=True, kind=scene_kind))
+        results[ov] = _evaluate_band(backend, quads, ov, verbose)
     return results
 
 
@@ -95,18 +115,12 @@ def evaluate_cloud(backend, cloud, overlaps=(0.3, 0.4, 0.5, 0.6),
 
     results = {}
     for ov in overlaps:
-        rows = []
-        fails = 0
+        quads = []
         for p in range(n_pairs):
             rng = np.random.default_rng((seed, int(ov * 100), p))
-            src, ref, gt, scene = make_pair_from_cloud(
-                rng, cloud, overlap=ov, noise=noise, return_scene=True)
-            r = evaluate_pair(backend, src, ref, gt, scene)
-            if r is None:
-                fails += 1
-            else:
-                rows.append(r)
-        results[ov] = _aggregate(rows, fails, n_pairs, ov, verbose)
+            quads.append(make_pair_from_cloud(
+                rng, cloud, overlap=ov, noise=noise, return_scene=True))
+        results[ov] = _evaluate_band(backend, quads, ov, verbose)
     return results
 
 

@@ -83,13 +83,23 @@ class RegistrationEvaluator:
         gt_transform = reg_data_dict["gt_transform"]
 
         pooled = {"src": [], "ref": [], "scores": []}
+        obj_pairs = []
         for node_corr in node_corrs:
             pts_src = src_points[np.where(src_plydata["objectId"] == node_corr[0])[0]]
             pts_ref = ref_points[np.where(ref_plydata["objectId"] == node_corr[1])[0]]
             if (pts_src.shape[0] < self.min_object_points
                     or pts_ref.shape[0] < self.min_object_points):
                 continue
-            out = self.backend.register(pts_src, pts_ref, gt_transform)
+            obj_pairs.append((pts_src, pts_ref))
+        # batch-capable backends register every object pair with one device
+        # dispatch per stage (reg/learned_batch.py) — the reference's per-
+        # node-corr model loop is its eval hot spot (SURVEY §3.2)
+        if hasattr(self.backend, "register_batch"):
+            outs = self.backend.register_batch(obj_pairs)
+        else:
+            outs = [self.backend.register(s, r, gt_transform)
+                    for s, r in obj_pairs]
+        for out in outs:
             if out is None:
                 continue
             src_c, ref_c = out["src_corr_points"], out["ref_corr_points"]

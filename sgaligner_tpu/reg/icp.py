@@ -78,6 +78,70 @@ def icp_refine(
     return tf, rmse
 
 
+@partial(jax.jit, static_argnames=("iters", "chunk"))
+def icp_refine_stages_batch(
+    src: jnp.ndarray,          # [G, N, 3] (padded)
+    ref: jnp.ndarray,          # [G, M, 3]
+    src_mask: jnp.ndarray,     # [G, N]
+    ref_mask: jnp.ndarray,     # [G, M]
+    init_transforms: jnp.ndarray,   # [G, 4, 4]
+    trims: jnp.ndarray,        # [T] max_corr_dist schedule (traced — a new
+                               # voxel size does NOT recompile)
+    iters: int = 10,
+    chunk: int = 256,          # the [G, chunk, M] distance transient must fit
+                               # comfortably at G instances
+) -> jnp.ndarray:
+    """The coarse->fine trim SCHEDULE (``iters`` ICP iterations at each
+    ``max_corr_dist`` in ``trims``) over G (pair, candidate) instances in ONE
+    dispatch — reg/learned_batch.py's replacement for the per-candidate
+    ``icp_refine_host`` loop (3 stages x k candidates x pairs dispatches).
+
+    Deliberately ONE flat ``lax.scan`` over T*iters steps with the trim as a
+    per-step scanned value: a vmap over per-instance scans with the trim
+    stages python-unrolled compiled in ~6.5 minutes at [32, 8192, 8192] on
+    the v5e (measured) — this formulation compiles in seconds and runs
+    identically. Returns the refined transforms [G, 4, 4]."""
+    g, n, _ = src.shape
+    src_f = src.astype(jnp.float32)
+    ref_f = ref.astype(jnp.float32)
+    maskf = src_mask.astype(jnp.float32)
+    big = jnp.where(ref_mask, 0.0, 1e30)                      # [G, M]
+    ref_sq = jnp.sum(ref_f * ref_f, axis=-1) + big            # [G, M]
+
+    pad = (-n) % chunk
+    n_chunks = (n + pad) // chunk
+
+    def nn_all(moved):
+        """1-NN of each (masked) moved src point in its own ref row."""
+        moved_p = jnp.pad(moved, ((0, 0), (0, pad), (0, 0)))
+        chunks = moved_p.reshape(g, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+
+        def chunk_body(_, s_chunk):                           # [G, chunk, 3]
+            d = (jnp.sum(s_chunk * s_chunk, -1)[..., None]
+                 - 2.0 * jnp.einsum("gcd,gmd->gcm", s_chunk, ref_f)
+                 + ref_sq[:, None, :])
+            return None, (jnp.min(d, -1), jnp.argmin(d, -1))
+
+        _, (d2, idx) = jax.lax.scan(chunk_body, None, chunks)
+        d2 = d2.transpose(1, 0, 2).reshape(g, -1)[:, :n]
+        idx = idx.transpose(1, 0, 2).reshape(g, -1)[:, :n]
+        return d2, idx
+
+    def step(tf, trim):
+        moved = (jnp.einsum("gnd,ged->gne", src_f, tf[:, :3, :3])
+                 + tf[:, None, :3, 3])
+        d2, idx = nn_all(moved)
+        w = maskf * (d2 < trim * trim)
+        targets = jnp.take_along_axis(ref_f, idx[..., None], axis=1)
+        new_tf = jax.vmap(kabsch)(src_f, targets, w + 1e-12)
+        enough = (w.sum(-1) >= 3)[:, None, None]
+        return jnp.where(enough, new_tf, tf), None
+
+    schedule = jnp.repeat(trims.astype(jnp.float32), iters)
+    tf, _ = jax.lax.scan(step, init_transforms.astype(jnp.float32), schedule)
+    return tf
+
+
 def icp_refine_host(src_points: np.ndarray, ref_points: np.ndarray,
                     init_transform: np.ndarray | None = None,
                     iters: int = 10, max_corr_dist: float = 0.1,

@@ -34,33 +34,26 @@ import numpy as np
 from sgaligner_tpu.reg.geo_model import GeoModelConfig, GeoRegModel
 
 
-def _prep_cloud(points: np.ndarray, n_super: int, patch_m: int,
-                voxel_size: float, max_points: int, rng) -> dict:
-    """Host+device preprocessing to the static model inputs."""
-    import jax.numpy as jnp
-
-    from sgaligner_tpu.ops.fps import farthest_point_sample
+def _downsample_cloud(points: np.ndarray, voxel_size: float, max_points: int,
+                      rng) -> np.ndarray:
     from sgaligner_tpu.reg.backend import voxel_downsample
 
     pts = voxel_downsample(points.astype(np.float32), voxel_size)
     if len(pts) > max_points:
         pts = pts[rng.choice(len(pts), max_points, replace=False)]
+    return pts
+
+
+def _finish_prep(pts: np.ndarray, sp_idx: np.ndarray, n_super: int,
+                 patch_m: int) -> dict:
+    """Host patch construction from the FPS superpoint indices.
+
+    Split out of ``_prep_cloud`` so the batched path (reg/learned_batch.py)
+    can run ONE FPS dispatch for every cloud of a pair set and finish each
+    prep here; FPS is mask-exact, so padding length never changes sp_idx."""
     n = len(pts)
     s = min(n_super, n)
-    # bucket-pad to power-of-two sizes so the jitted FPS compiles O(log N)
-    # distinct shapes instead of one per unique cloud size (a fresh XLA
-    # compile per pair dominated wall-clock before)
-    bucket = 256
-    while bucket < n:
-        bucket *= 2
-    pts_pad = np.zeros((bucket, 3), np.float32)
-    pts_pad[:n] = pts
-    valid = np.zeros((bucket,), bool)
-    valid[:n] = True
-    sp_idx = np.asarray(farthest_point_sample(
-        jnp.asarray(pts_pad)[None], n_super,
-        mask=jnp.asarray(valid)[None]))[0][:s]
-    sp = pts[sp_idx]                                          # [s, 3]
+    sp = pts[sp_idx[:s]]                                      # [s, 3]
     # nearest-M dense points per superpoint (host kNN via argpartition)
     d = ((sp[:, None, :] - pts[None, :, :]) ** 2).sum(-1)     # [s, n]
     m = min(patch_m, n)
@@ -84,6 +77,31 @@ def _prep_cloud(points: np.ndarray, n_super: int, patch_m: int,
         "points": pts,
         "nbr": pad(nbr, n_super),
     }
+
+
+def _prep_cloud(points: np.ndarray, n_super: int, patch_m: int,
+                voxel_size: float, max_points: int, rng) -> dict:
+    """Host+device preprocessing to the static model inputs (single cloud)."""
+    import jax.numpy as jnp
+
+    from sgaligner_tpu.ops.fps import farthest_point_sample
+
+    pts = _downsample_cloud(points, voxel_size, max_points, rng)
+    n = len(pts)
+    # bucket-pad to power-of-two sizes so the jitted FPS compiles O(log N)
+    # distinct shapes instead of one per unique cloud size (a fresh XLA
+    # compile per pair dominated wall-clock before)
+    bucket = 256
+    while bucket < n:
+        bucket *= 2
+    pts_pad = np.zeros((bucket, 3), np.float32)
+    pts_pad[:n] = pts
+    valid = np.zeros((bucket,), bool)
+    valid[:n] = True
+    sp_idx = np.asarray(farthest_point_sample(
+        jnp.asarray(pts_pad)[None], n_super,
+        mask=jnp.asarray(valid)[None]))[0]
+    return _finish_prep(pts, sp_idx, n_super, patch_m)
 
 
 def patch_invariants(patch: np.ndarray):
@@ -218,6 +236,10 @@ class LearnedBackend:
                  retry_score_thresh: float = 0.45):
         import jax
 
+        if isinstance(params, (str, bytes)):
+            # LearnedBackend("path/to/ckpt") — the natural first call a user
+            # makes; interpret a string params as the checkpoint dir
+            params, checkpoint = None, params
         if params is None and checkpoint is not None:
             import json
             import os
@@ -258,121 +280,47 @@ class LearnedBackend:
 
         self._fine_assign = jax.jit(
             partial(fine_log_assign, iters=cfg.sinkhorn_iters))
+        # batched-across-pairs variants (reg/learned_batch.py): every device
+        # stage runs once per retry ROUND instead of once per pair
+        self._apply_batch = jax.jit(
+            jax.vmap(partial(model.apply, {"params": params})))
+        self._fine_assign_batch = jax.jit(
+            jax.vmap(partial(fine_log_assign, iters=cfg.sinkhorn_iters)))
 
     def register(self, src_points: np.ndarray, ref_points: np.ndarray,
                  gt_transform: np.ndarray | None = None) -> dict | None:
-        """Score-gated re-seeded attempts: FPS superpoint placement is the
-        luck factor on feature-poor (planar, self-similar) scans — a retry
-        with different superpoints/patches often lands >=3 good
-        correspondences where the first draw landed 1-2 (measured on the
-        real example scans). Retries only trigger while the verification
-        score stays below ``retry_score_thresh``, so easy pairs pay one
-        attempt."""
-        best = None
+        return self.register_batch([(src_points, ref_points)])[0]
+
+    def register_batch(self, pairs, gt_transforms=None) -> list[dict | None]:
+        """Register MANY pairs with one device dispatch per pipeline stage
+        per retry round (reg/learned_batch.py) — the TPU-first answer to the
+        reference evaluator's per-pair GeoTransformer loop, its measured
+        eval hot spot (registration_evaluator.py:144-165).
+
+        Retry semantics match the old serial path: FPS superpoint placement
+        is the luck factor on feature-poor (planar, self-similar) scans — a
+        re-seeded attempt often lands >=3 good correspondences where the
+        first draw landed 1-2 (measured on the real example scans). Only
+        pairs whose best verification score stays below
+        ``retry_score_thresh`` join the next round, so easy pairs pay one
+        attempt. Returns one result dict (or None) per input pair."""
+        from sgaligner_tpu.reg.learned_batch import register_round
+
+        results: list[dict | None] = [None] * len(pairs)
+        active = list(range(len(pairs)))
         for attempt in range(1 + self.retries):
-            res = self._register_once(src_points, ref_points,
-                                      seed=self.seed + 1009 * attempt)
-            if res is None:
-                continue
-            if best is None or res["fit_score"] > best["fit_score"]:
-                best = res
-            if best["fit_score"] >= self.retry_score_thresh:
+            if not active:
                 break
-        return best
-
-    def _register_once(self, src_points: np.ndarray, ref_points: np.ndarray,
-                       seed: int) -> dict | None:
-        rng = np.random.default_rng(seed)
-        src = _prep_cloud(src_points, self.n_super, self.patch_m,
-                          self.voxel_size, self.max_points, rng)
-        ref = _prep_cloud(ref_points, self.n_super, self.patch_m,
-                          self.voxel_size, self.max_points, rng)
-        if src["mask"].sum() < 4 or ref["mask"].sum() < 4:
-            return None
-        out = self._apply(src["sp"], ref["sp"], src["inv"], ref["inv"],
-                          src["eig"], ref["eig"],
-                          src["pmask"], ref["pmask"], src["mask"], ref["mask"])
-        corr = extract_correspondences(out, src, ref, self.top_pairs)
-        if corr is None:
-            return None
-        src_c, ref_c, scores, idx_pairs = corr
-
-        # fine stage: point-level Sinkhorn inside the matched patches gives
-        # DENSE correspondences (the structure the reference's evaluator
-        # consumes, registration_evaluator.py:104-108)
-        fine = None
-        if self.fine:
-            n_valid = len(idx_pairs)
-            pad = np.zeros((self.top_pairs, 2), np.int32)
-            pad[:n_valid] = idx_pairs
-            fla = np.asarray(self._fine_assign(
-                out["src_pf"], out["ref_pf"], src["pmask"], ref["pmask"],
-                pad, out["fine_temp"], out["fine_alpha"]))
-            fine = extract_fine_correspondences(
-                fla, pad, n_valid, src, ref, self.fine_score_thresh)
-            if fine is not None and len(fine[0]) < self.min_fine_corrs:
-                fine = None
-
-        from sgaligner_tpu.reg.ransac import find_rigid_transforms_topk
-        from sgaligner_tpu.utils.pointcloud import (apply_transform,
-                                                    get_nearest_neighbor)
-
-        def icp_refine(est):
-            if not self.refine_icp:
-                return est
-            from sgaligner_tpu.reg.icp import icp_refine_host
-
-            # coarse->fine trim schedule: a wide first pass pulls a
-            # decimeter-off init into the basin; the tight second pass
-            # stops non-overlap points from biasing the translation
-            for trim in (6.0, 2.0, 1.0):
-                est, _ = icp_refine_host(
-                    src["points"], ref["points"], init_transform=est,
-                    iters=10, max_corr_dist=trim * self.voxel_size,
-                    seed=seed)
-            return est
-
-        def fit_score(est):
-            """Fraction of src points landing on ref within 2 voxels —
-            candidate verification (wrong-consensus fits score ~0)."""
-            moved = apply_transform(src["points"], est)
-            d = get_nearest_neighbor(moved, ref["points"])
-            return float((d < 2.0 * self.voxel_size).mean())
-
-        # candidate transforms: a DIVERSE top-k of RANSAC consensus clusters
-        # from the dense fine correspondences (tight threshold — they are
-        # voxel-accurate) and from the superpoint centers (loose). Under low
-        # overlap the LARGEST consensus is often a wrong self-similarity
-        # cluster while the right one ranks 2nd/3rd — verification against
-        # the raw clouds (fit_score) picks reliably once the right cluster is
-        # in the pool (measured: in 6/6 low-overlap misses of the
-        # single-winner scheme, gt outscored the chosen fit).
-        hyps = []
-        if fine is not None:
-            f_thresh = max(1.5 * self.voxel_size, 0.075)
-            for tf in find_rigid_transforms_topk(
-                    fine[0], fine[1], threshold=f_thresh, k=self.hypotheses,
-                    max_iters=1000, seed=seed):
-                hyps.append((tf, fine))
-        for tf in find_rigid_transforms_topk(
-                src_c, ref_c, threshold=self.inlier_thresh, k=self.hypotheses,
-                max_iters=1000, seed=seed):
-            hyps.append((tf, (src_c, ref_c, scores)))
-        if not hyps:
-            hyps = [(weighted_kabsch(src_c, ref_c, scores),
-                     (src_c, ref_c, scores))]
-
-        # cheap pre-score picks the ICP budget's worth of candidates
-        pre = sorted(hyps, key=lambda h: -fit_score(h[0]))[: self.max_refine]
-        scored = [(fit_score(est), est, corrs)
-                  for tf, corrs in pre for est in (icp_refine(tf),)]
-        best_score, est, (src_c, ref_c, scores) = max(scored,
-                                                      key=lambda c: c[0])
-
-        return {
-            "estimated_transform": est,
-            "src_corr_points": src_c,
-            "ref_corr_points": ref_c,
-            "corr_scores": scores,
-            "fit_score": best_score,
-        }
+            outs = register_round(self, [pairs[i] for i in active],
+                                  seed=self.seed + 1009 * attempt)
+            still = []
+            for i, res in zip(active, outs):
+                if res is not None and (results[i] is None
+                                        or res["fit_score"]
+                                        > results[i]["fit_score"]):
+                    results[i] = res
+                if (results[i] is None
+                        or results[i]["fit_score"] < self.retry_score_thresh):
+                    still.append(i)
+            active = still
+        return results

@@ -1,0 +1,297 @@
+"""Batched multi-pair registration rounds for the learned backend.
+
+The reference's evaluator registers pair-at-a-time in a python loop — the
+per-node-correspondence GeoTransformer calls are its measured eval hot spot
+(/root/reference/src/engine/registration_evaluator.py:144-165, SURVEY §3.2).
+This module is the TPU-first replacement: one retry ROUND over a whole pair
+set runs each device stage exactly once —
+
+  1. ONE batched FPS over every cloud in the round (ops/fps.py is mask-exact,
+     so batch-common padding gives identical superpoints),
+  2. ONE vmapped matcher forward (GeoRegModel) over the pair axis,
+  3. ONE vmapped fine Sinkhorn over the pair axis,
+  4. ONE batched RANSAC hypothesis sweep over every pair's fine+coarse
+     correspondence sets (reg/ransac.py::ransac_hypotheses_batch),
+  5. ONE batched trimmed-ICP schedule over every surviving (pair, candidate)
+     instance (reg/icp.py::icp_refine_stages_batch);
+
+only the cheap greedy extraction, SE(3) NMS and KD-tree verification stay on
+host. On a dispatch-latency-bound link (this box's tunneled PJRT pays ~45 ms
+per call) this collapses ~10 dispatches per pair x attempt into ~5 per round.
+
+Entry point: ``LearnedBackend.register_batch`` (reg/learned.py), which owns
+the score-gated retry loop; ``register_round`` here is one attempt.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _pow2(n: int, lo: int) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class _NNCache:
+    """Per-pair 1-NN query structure over the ref cloud, built once and
+    reused across every candidate verification of the round (same tree
+    choice as utils/pointcloud.get_nearest_neighbor)."""
+
+    def __init__(self, ref_points: np.ndarray):
+        from sgaligner_tpu.utils.pointcloud import _native_kdtree, cKDTree
+
+        self._tree = (_native_kdtree(ref_points)
+                      if len(ref_points) > 5000 else None)
+        if self._tree is None:
+            self._ctree = cKDTree(ref_points)
+
+    def distances(self, q: np.ndarray) -> np.ndarray:
+        if self._tree is not None:
+            d, _ = self._tree.query(np.atleast_2d(q))
+            return d
+        d, _ = self._ctree.query(q, k=1)
+        return d
+
+
+def _fit_score(nn: _NNCache, src_points: np.ndarray, est: np.ndarray,
+               voxel_size: float) -> float:
+    """Fraction of src points landing on ref within 2 voxels — candidate
+    verification (wrong-consensus fits score ~0)."""
+    moved = src_points @ est[:3, :3].T + est[:3, 3]
+    return float((nn.distances(moved) < 2.0 * voxel_size).mean())
+
+
+def _topk_nms_refine(tfs: np.ndarray, scores: np.ndarray,
+                     src_corr: np.ndarray, ref_corr: np.ndarray,
+                     threshold: float, k: int, min_inliers: int = 3,
+                     rot_deg: float = 15.0, trans: float = 0.3,
+                     refine_steps: int = 3) -> list[np.ndarray]:
+    """Host half of find_rigid_transforms_topk over PRECOMPUTED hypotheses:
+    greedy SE(3) non-max suppression by inlier score, then inlier-reweighted
+    Kabsch refinement (host f64 — the corr sets are tens of points)."""
+    from sgaligner_tpu.reg.learned import weighted_kabsch
+    from sgaligner_tpu.reg.ransac import _se3_distinct
+
+    out: list[np.ndarray] = []
+    for i in np.argsort(-scores):
+        if scores[i] < min_inliers:
+            break
+        tf = np.asarray(tfs[i], np.float64)
+        if not _se3_distinct(tf, out, rot_deg, trans):
+            continue
+        for _ in range(refine_steps):
+            res = np.linalg.norm(
+                src_corr @ tf[:3, :3].T + tf[:3, 3] - ref_corr, axis=-1)
+            w = (res < threshold).astype(np.float64)
+            if w.sum() < 3:
+                break
+            tf = weighted_kabsch(src_corr.astype(np.float64),
+                                 ref_corr.astype(np.float64), w)
+        if _se3_distinct(tf, out, rot_deg, trans) or not out:
+            out.append(tf)
+        if len(out) >= k:
+            break
+    return out
+
+
+def _prep_round(backend, pairs, seed):
+    """Stage 1: host downsample + ONE batched FPS + host patch building.
+    Returns [(src_prep, ref_prep)] per pair."""
+    import jax.numpy as jnp
+
+    from sgaligner_tpu.ops.fps import farthest_point_sample
+    from sgaligner_tpu.reg.learned import _downsample_cloud, _finish_prep
+
+    clouds = []
+    for src_points, ref_points in pairs:
+        # one rng per pair, consumed src-then-ref — the serial path's order
+        rng = np.random.default_rng(seed)
+        clouds.append(_downsample_cloud(src_points, backend.voxel_size,
+                                        backend.max_points, rng))
+        clouds.append(_downsample_cloud(ref_points, backend.voxel_size,
+                                        backend.max_points, rng))
+    g = _pow2(len(clouds), 2)
+    bucket = _pow2(max(len(c) for c in clouds), 256)
+    pts_pad = np.zeros((g, bucket, 3), np.float32)
+    valid = np.zeros((g, bucket), bool)
+    for i, c in enumerate(clouds):
+        pts_pad[i, : len(c)] = c
+        valid[i, : len(c)] = True
+    sp_idx = np.asarray(farthest_point_sample(
+        jnp.asarray(pts_pad), backend.n_super, mask=jnp.asarray(valid)))
+    preps = [_finish_prep(c, sp_idx[i], backend.n_super, backend.patch_m)
+             for i, c in enumerate(clouds)]
+    return [(preps[2 * i], preps[2 * i + 1]) for i in range(len(pairs))]
+
+
+def register_round(backend, pairs, seed: int) -> list[dict | None]:
+    """One registration attempt over ``pairs`` (list of (src, ref) arrays),
+    every device stage batched. Returns one result dict (with fit_score) or
+    None per pair."""
+    import jax
+
+    from sgaligner_tpu.reg.learned import (
+        extract_correspondences,
+        extract_fine_correspondences,
+        weighted_kabsch,
+    )
+    from sgaligner_tpu.reg.ransac import ransac_hypotheses_batch
+
+    n_pairs = len(pairs)
+    if n_pairs == 0:
+        return []
+    preps = _prep_round(backend, pairs, seed)
+
+    # ---- stage 2: matcher forward, one vmapped dispatch (pad B to pow2 by
+    # repeating pair 0; extras dropped on host)
+    b = _pow2(n_pairs, 1)
+
+    def stack(side, key):
+        return np.stack([preps[min(i, n_pairs - 1)][side][key]
+                         for i in range(b)])
+
+    out = backend._apply_batch(
+        stack(0, "sp"), stack(1, "sp"), stack(0, "inv"), stack(1, "inv"),
+        stack(0, "eig"), stack(1, "eig"), stack(0, "pmask"),
+        stack(1, "pmask"), stack(0, "mask"), stack(1, "mask"))
+    out = jax.tree.map(np.asarray, out)
+
+    # ---- stage 3: coarse extraction (host, per pair)
+    coarse = []
+    for i in range(n_pairs):
+        src, ref = preps[i]
+        if src["mask"].sum() < 4 or ref["mask"].sum() < 4:
+            coarse.append(None)
+            continue
+        coarse.append(extract_correspondences(
+            {"log_assign": out["log_assign"][i]}, src, ref,
+            backend.top_pairs))
+
+    # ---- stage 4: fine Sinkhorn, one vmapped dispatch over pairs with
+    # coarse correspondences
+    fine_results: list[tuple | None] = [None] * n_pairs
+    act = [i for i in range(n_pairs) if coarse[i] is not None]
+    if backend.fine and act:
+        bf = _pow2(len(act), 1)
+        rows = act + [act[-1]] * (bf - len(act))
+        pad_pairs = np.zeros((bf, backend.top_pairs, 2), np.int32)
+        for r, i in enumerate(rows):
+            idx_pairs = coarse[i][3]
+            pad_pairs[r, : len(idx_pairs)] = idx_pairs
+        fla = np.asarray(backend._fine_assign_batch(
+            out["src_pf"][rows], out["ref_pf"][rows],
+            np.stack([preps[i][0]["pmask"] for i in rows]),
+            np.stack([preps[i][1]["pmask"] for i in rows]),
+            pad_pairs, out["fine_temp"][rows], out["fine_alpha"][rows]))
+        for r, i in enumerate(rows[: len(act)]):
+            fine = extract_fine_correspondences(
+                fla[r], pad_pairs[r], len(coarse[i][3]), preps[i][0],
+                preps[i][1], backend.fine_score_thresh)
+            if fine is not None and len(fine[0]) >= backend.min_fine_corrs:
+                fine_results[i] = fine
+
+    # ---- stage 5: RANSAC hypotheses over every (pair, corr-set) instance,
+    # one batched dispatch
+    instances = []   # (pair_idx, src_corr, ref_corr, threshold, corrs_tuple)
+    for i in act:
+        src_c, ref_c, scores, _ = coarse[i]
+        fine = fine_results[i]
+        if fine is not None:
+            f_thresh = max(1.5 * backend.voxel_size, 0.075)
+            instances.append((i, fine[0], fine[1], f_thresh, fine))
+        instances.append((i, src_c, ref_c, backend.inlier_thresh,
+                          (src_c, ref_c, scores)))
+    hyps_per_pair: dict[int, list] = {i: [] for i in act}
+    if instances:
+        gi = _pow2(len(instances), 1)
+        nc = _pow2(max(len(inst[1]) for inst in instances), 64)
+        src_p = np.zeros((gi, nc, 3), np.float32)
+        ref_p = np.zeros((gi, nc, 3), np.float32)
+        mask_p = np.zeros((gi, nc), bool)
+        thr = np.full((gi,), 0.03, np.float32)
+        for r, (_, sc, rc, t, _c) in enumerate(instances):
+            src_p[r, : len(sc)] = sc
+            ref_p[r, : len(rc)] = rc
+            mask_p[r, : len(sc)] = True
+            thr[r] = t
+        keys = jax.vmap(jax.random.key)(np.full((gi,), seed, np.uint32))
+        tfs, scores_h = ransac_hypotheses_batch(
+            src_p, ref_p, mask_p, keys, thr, iters=1000)
+        tfs = np.asarray(tfs)
+        scores_h = np.asarray(scores_h)
+        for r, (i, sc, rc, t, corrs) in enumerate(instances):
+            for tf in _topk_nms_refine(tfs[r], scores_h[r], sc, rc, t,
+                                       k=backend.hypotheses):
+                hyps_per_pair[i].append((tf, corrs))
+
+    # ---- stage 6: pre-score (host KD-tree, cached per pair) and candidate
+    # selection for the ICP budget
+    nns = {i: _NNCache(preps[i][1]["points"]) for i in act}
+    cands: dict[int, list] = {}
+    for i in act:
+        hyps = hyps_per_pair[i]
+        if not hyps:
+            src_c, ref_c, scores, _ = coarse[i]
+            hyps = [(weighted_kabsch(src_c, ref_c, scores),
+                     (src_c, ref_c, scores))]
+        hyps = sorted(
+            hyps, key=lambda h: -_fit_score(nns[i], preps[i][0]["points"],
+                                            h[0], backend.voxel_size))
+        cands[i] = hyps[: backend.max_refine]
+
+    # ---- stage 7: trimmed-ICP schedule over every (pair, candidate)
+    # instance, one batched dispatch. Wide->tight trims: the wide pass pulls
+    # a decimeter-off init into the basin; the tight pass stops non-overlap
+    # points from biasing the translation.
+    flat = [(i, c) for i in act for c in range(len(cands[i]))]
+    if backend.refine_icp and flat:
+        from sgaligner_tpu.reg.icp import icp_refine_stages_batch
+
+        g2 = _pow2(len(flat), 1)
+        sb = _pow2(max(len(preps[i][0]["points"]) for i, _ in flat), 64)
+        rb = _pow2(max(len(preps[i][1]["points"]) for i, _ in flat), 64)
+        src_p = np.zeros((g2, sb, 3), np.float32)
+        ref_p = np.zeros((g2, rb, 3), np.float32)
+        src_m = np.zeros((g2, sb), bool)
+        ref_m = np.zeros((g2, rb), bool)
+        inits = np.tile(np.eye(4, dtype=np.float32), (g2, 1, 1))
+        for r, (i, c) in enumerate(flat):
+            sp, rp = preps[i][0]["points"], preps[i][1]["points"]
+            src_p[r, : len(sp)] = sp
+            ref_p[r, : len(rp)] = rp
+            src_m[r, : len(sp)] = True
+            ref_m[r, : len(rp)] = True
+            inits[r] = np.asarray(cands[i][c][0], np.float32)
+        trims = np.array([6.0, 2.0, 1.0], np.float32) * backend.voxel_size
+        refined = np.asarray(icp_refine_stages_batch(
+            src_p, ref_p, src_m, ref_m, inits, trims, iters=10))
+        ests = {fc: np.asarray(refined[r], np.float64)
+                for r, fc in enumerate(flat)}
+    else:
+        ests = {(i, c): np.asarray(cands[i][c][0], np.float64)
+                for i, c in flat}
+
+    # ---- stage 8: final verification, best candidate per pair
+    results: list[dict | None] = [None] * n_pairs
+    for i in act:
+        best = None
+        for c in range(len(cands[i])):
+            est = ests[(i, c)]
+            score = _fit_score(nns[i], preps[i][0]["points"], est,
+                               backend.voxel_size)
+            if best is None or score > best[0]:
+                best = (score, est, cands[i][c][1])
+        if best is None:
+            continue
+        score, est, (src_c, ref_c, scores) = best
+        results[i] = {
+            "estimated_transform": est,
+            "src_corr_points": src_c,
+            "ref_corr_points": ref_c,
+            "corr_scores": scores,
+            "fit_score": score,
+        }
+    return results

@@ -106,23 +106,7 @@ def ransac_rigid_transform(
     return best_tf, final_inliers
 
 
-@partial(jax.jit, static_argnames=("iters", "chunk"))
-def ransac_hypotheses(
-    src: jnp.ndarray,            # [N, 3] correspondences (src side, padded ok)
-    ref: jnp.ndarray,            # [N, 3]
-    mask: jnp.ndarray,           # [N]
-    key: jnp.ndarray,
-    threshold: float = 0.03,
-    iters: int = 5000,
-    chunk: int = 256,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """ALL minimal-set hypotheses with their inlier counts: (tfs [iters,4,4],
-    scores [iters]). Multi-modal consensus shows up as several distinct
-    high-scoring clusters — the single-winner reduction in
-    ``ransac_rigid_transform`` keeps only the largest, which under low
-    overlap is often a wrong self-similarity consensus; callers that can
-    VERIFY candidates against the raw clouds should instead pick from a
-    diverse top-k of these (``find_rigid_transforms_topk``)."""
+def _hypotheses_impl(src, ref, mask, key, threshold, iters, chunk):
     n = src.shape[0]
     maskf = mask.astype(src.dtype)
     g = jax.random.gumbel(key, (iters, n)) + jnp.where(mask, 0.0, -1e30)[None]
@@ -140,6 +124,46 @@ def ransac_hypotheses(
     _, (tfs, scores) = jax.lax.scan(score_chunk, None,
                                     samples.reshape(n_chunks, chunk, 3))
     return tfs.reshape(-1, 4, 4)[:iters], scores.reshape(-1)[:iters]
+
+
+@partial(jax.jit, static_argnames=("iters", "chunk"))
+def ransac_hypotheses(
+    src: jnp.ndarray,            # [N, 3] correspondences (src side, padded ok)
+    ref: jnp.ndarray,            # [N, 3]
+    mask: jnp.ndarray,           # [N]
+    key: jnp.ndarray,
+    threshold: float = 0.03,
+    iters: int = 5000,
+    chunk: int = 256,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ALL minimal-set hypotheses with their inlier counts: (tfs [iters,4,4],
+    scores [iters]). Multi-modal consensus shows up as several distinct
+    high-scoring clusters — the single-winner reduction in
+    ``ransac_rigid_transform`` keeps only the largest, which under low
+    overlap is often a wrong self-similarity consensus; callers that can
+    VERIFY candidates against the raw clouds should instead pick from a
+    diverse top-k of these (``find_rigid_transforms_topk``)."""
+    return _hypotheses_impl(src, ref, mask, key, threshold, iters, chunk)
+
+
+@partial(jax.jit, static_argnames=("iters", "chunk"))
+def ransac_hypotheses_batch(
+    src: jnp.ndarray,            # [G, N, 3] padded correspondence sets
+    ref: jnp.ndarray,            # [G, N, 3]
+    mask: jnp.ndarray,           # [G, N]
+    keys: jnp.ndarray,           # [G] PRNG keys
+    thresholds: jnp.ndarray,     # [G] per-set inlier thresholds
+    iters: int = 5000,
+    chunk: int = 256,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``ransac_hypotheses`` over G correspondence sets in ONE dispatch
+    (vmapped) — the multi-pair registration path
+    (reg/learned_batch.py) pools every pair's fine+coarse RANSAC into a
+    single device call instead of 2-6 per pair. Returns
+    (tfs [G, iters, 4, 4], scores [G, iters])."""
+    return jax.vmap(
+        lambda s, r, m, k, t: _hypotheses_impl(s, r, m, k, t, iters, chunk)
+    )(src, ref, mask, keys, thresholds)
 
 
 def _se3_distinct(tf: np.ndarray, kept: list[np.ndarray],

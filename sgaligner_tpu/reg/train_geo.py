@@ -376,6 +376,11 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default="runs/geo_reg")
     ap.add_argument("--n_super", type=int, default=64)
     ap.add_argument("--patch_m", type=int, default=24)
+    ap.add_argument("--n_points", type=int, default=2048,
+                    help="points per synthetic crop — match the DENSITY of "
+                         "the deployment scans (real example scans land at "
+                         "~4-8k points after the 5 cm voxel grid)")
+    ap.add_argument("--batch_pairs", type=int, default=8)
     ap.add_argument("--overlap_lo", type=float, default=0.2)
     ap.add_argument("--overlap_hi", type=float, default=0.8)
     ap.add_argument("--dataset_pairs", type=int, default=2048)
@@ -389,7 +394,8 @@ def main(argv=None):
                          "scenes matching real-scan hardness)")
     args = ap.parse_args(argv)
     train(steps=args.steps, seed=args.seed, lr=args.lr, out_dir=args.out,
-          n_super=args.n_super, patch_m=args.patch_m,
+          n_super=args.n_super, patch_m=args.patch_m, n_points=args.n_points,
+          batch_pairs=args.batch_pairs,
           dataset_pairs=args.dataset_pairs, dataset_cache=args.dataset_cache,
           init_from=args.init_from, scene_kind=args.scene_kind,
           overlap=(args.overlap_lo, args.overlap_hi))

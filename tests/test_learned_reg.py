@@ -149,17 +149,35 @@ def test_fine_assign_recovers_planted_matches():
 def test_pretrained_low_overlap_band():
     """The round-2 review's acceptance bar: held-out recall@(5deg,10cm) at
     LOW overlaps — where the reference engine's README numbers live — not
-    just favorable pairs. 4 pairs each at 0.3/0.4 must mostly register."""
+    just favorable pairs. Extended to the 0.2 band in round 4 (the
+    3DLoMatch-class regime the reference engine targets,
+    src/datasets/scan3r.py:35-41 val band)."""
     from sgaligner_tpu.reg.eval_geo import evaluate
 
     be = LearnedBackend(checkpoint=CKPT)
-    res = evaluate(be, overlaps=(0.3, 0.4), n_pairs=4, seed=999,
+    res = evaluate(be, overlaps=(0.2, 0.3, 0.4), n_pairs=4, seed=999,
                    verbose=False)
     hits = res[0.3]["hits"] + res[0.4]["hits"]
     assert hits >= 6, f"low-overlap recall {hits}/8 below bar: {res}"
     assert res[0.3]["RR"] >= 0.75 and res[0.4]["RR"] >= 0.75, res
     # typical (hit-only) precision: the review bar is RTE <= 3 cm
     assert res[0.4]["RTE_hit"] <= 0.04, res
+    # 0.2 regime: below the r3 curriculum floor; mix3 (trained to 0.12)
+    # must register at least half of these
+    assert res[0.2]["hits"] >= 2, f"0.2-band recall collapsed: {res[0.2]}"
+
+
+def test_pretrained_planar_scene_recall():
+    """Planar self-similar scenes were the shipped checkpoint's measured
+    real-scan failure mode (PARITY.md scene_2 rows; VERDICT r3 'what's
+    weak' #1). Pin room-family recall in CI so a regression in exactly the
+    hard domain cannot pass silently."""
+    from sgaligner_tpu.reg.eval_geo import evaluate
+
+    be = LearnedBackend(checkpoint=CKPT)
+    res = evaluate(be, overlaps=(0.3,), n_pairs=4, seed=424_242,
+                   scene_kind="room", verbose=False)
+    assert res[0.3]["hits"] >= 3, f"planar-scene recall regressed: {res}"
 
 
 @pytest.mark.skipif(not os.path.isdir(CKPT),

@@ -121,6 +121,10 @@ def make_synthetic_workspace(
     seed: int = 0,
     n_nonoverlap_pairs: int = 0,
     ref_transform: np.ndarray | None = None,
+    view_noise: float = 0.0,
+    bow_flip: float = 0.0,
+    proto_classes: int = 0,
+    center_noise: float = 0.0,
 ) -> dict:
     """Write a workspace of ``n_pairs`` overlapping subscan pairs; returns info.
 
@@ -133,7 +137,15 @@ def make_synthetic_workspace(
     ``ref_transform`` (4x4) expresses every REF subscan in a rigidly
     transformed frame (like 3RScan rescans vs their reference scan) and
     records it in the pair's anchors entry under ``"transform"`` — the
-    registration path must then recover it instead of identity."""
+    registration path must then recover it instead of identity.
+
+    ``view_noise`` / ``bow_flip`` make the matching problem NON-trivial (the
+    aligner quality benchmark): each side observes an independently jittered
+    copy of the shared objects' geometry (sensor noise between visits), and
+    each anchor BoW entry is independently re-drawn with probability
+    ``bow_flip`` per side (annotation variation) — with both at 0 the anchor
+    features coincide bit-exactly and Hits@1 saturates. Leaving them at 0
+    keeps the rng stream and thus every existing seeded workspace unchanged."""
     pc_resolutions = pc_resolutions or [64]
     rng = np.random.default_rng(seed)
     scans_dir = osp.join(root, "scans")
@@ -145,7 +157,41 @@ def make_synthetic_workspace(
     for p in range(n_pairs + n_nonoverlap_pairs):
         overlapping = p < n_pairs
         shared_ids = np.arange(1, n_shared + 1)
-        shared_geoms = [_blob(rng, pts_per_obj) for _ in shared_ids]
+        if proto_classes > 0:
+            # CONFUSABLE geometry: objects are perturbed instances of a small
+            # per-pair prototype bank (real scans hold several near-identical
+            # chairs/tables) — point features alone can no longer separate
+            # instances, so alignment must lean on graph context. With the
+            # knob at 0 the rng stream and every seeded workspace are
+            # unchanged.
+            protos = [_blob(rng, pts_per_obj) for _ in range(proto_classes)]
+
+            def _geom():
+                # instance deform: per-axis scale ONLY (+-10%) — it must not
+                # exceed the per-VIEW deform below, or the instance's scale
+                # signature becomes a cross-view fingerprint and point
+                # features re-saturate Hits@1 (measured: 0.996 with a
+                # per-instance yaw+scale)
+                pr = protos[int(rng.integers(proto_classes))]
+                return pr * (0.9 + 0.2 * rng.random(3))
+        else:
+            def _geom():
+                return _blob(rng, pts_per_obj)
+
+        def _view_of(g):
+            # one side's OBSERVATION of a shared object: point jitter plus an
+            # independent per-view yaw/scale (sensor pose + segmentation
+            # variation between visits) at the same magnitude as the
+            # instance deform, so same-prototype instances are ambiguous to
+            # point features and graph context must disambiguate
+            if view_noise <= 0:
+                return g
+            yaw = rng.uniform(-0.3, 0.3)
+            c, si = np.cos(yaw), np.sin(yaw)
+            rot = np.array([[c, -si, 0.0], [si, c, 0.0], [0.0, 0.0, 1.0]])
+            s = 1.0 + rng.uniform(-2.0 * view_noise, 2.0 * view_noise, 3)
+            return (g * s) @ rot.T + rng.normal(0, view_noise, g.shape)
+        shared_geoms = [_geom() for _ in shared_ids]
         shared_centers = rng.uniform(-3, 3, size=(n_shared, 3))
         shared_bow = (
             rng.integers(0, 3, size=(n_shared, REL_DIM)).astype(np.float64),
@@ -155,22 +201,41 @@ def make_synthetic_workspace(
         for side in ("src", "ref"):
             extra_lo = 100 if side == "src" else 200
             extra_ids = np.arange(extra_lo, extra_lo + n_extra)
+            side_bow = shared_bow
             if overlapping:
                 ids = np.concatenate([shared_ids, extra_ids])
-                geoms = shared_geoms + [_blob(rng, pts_per_obj)
-                                        for _ in extra_ids]
-                # shared objects are bit-identical across sides: real subscans
-                # carve the SAME scene cloud, and the GT-correspondence path
-                # relies on exact point matches (point_cloud.py:91-103)
+                # with view_noise=0 shared objects are bit-identical across
+                # sides: real subscans carve the SAME scene cloud, and the
+                # GT-correspondence path relies on exact point matches
+                # (point_cloud.py:91-103)
+                shared_side = [_view_of(g) for g in shared_geoms]
+                geoms = shared_side + [_geom() for _ in extra_ids]
+                # center_noise: objects MOVE between visits (3RScan is
+                # literally a dataset of rescans with moved furniture) —
+                # without it the shared scene position is a cross-view
+                # fingerprint that lets raw-position point features rank the
+                # true anchor first even among identical-prototype instances
+                # (measured: Hits@1 0.98 with geometry fully confusable)
+                side_centers = shared_centers if center_noise <= 0 else (
+                    shared_centers
+                    + rng.normal(0, center_noise, shared_centers.shape))
                 centers = np.concatenate(
-                    [shared_centers, rng.uniform(-3, 3, size=(n_extra, 3))])
+                    [side_centers, rng.uniform(-3, 3, size=(n_extra, 3))])
+                if bow_flip > 0:
+                    rel = shared_bow[0].copy()
+                    attr = shared_bow[1].copy()
+                    mrel = rng.random(rel.shape) < bow_flip
+                    rel[mrel] = rng.integers(0, 3, size=int(mrel.sum()))
+                    mattr = rng.random(attr.shape) < bow_flip
+                    attr[mattr] = (rng.random(int(mattr.sum())) < 0.05
+                                   ).astype(np.float64)
+                    side_bow = (rel, attr)
             else:  # disjoint object sets, disjoint regions
                 lo = 1 if side == "src" else n_shared + 1
                 ids = np.concatenate([np.arange(lo, lo + n_shared), extra_ids])
                 offset = np.array([0.0, 0.0, 0.0]) if side == "src" else \
                     np.array([20.0, 0.0, 0.0])
-                geoms = [_blob(rng, pts_per_obj)
-                         for _ in range(n_shared + n_extra)]
+                geoms = [_geom() for _ in range(n_shared + n_extra)]
                 centers = rng.uniform(-3, 3, size=(n_shared + n_extra, 3)) + offset
             if side == "ref" and ref_transform is not None:
                 # rotate local geometry + transform centers: the assembled
@@ -181,7 +246,7 @@ def make_synthetic_workspace(
             scan_id = f"scene{p:02d}_{side}"
             pkl, rec = _make_subscan(
                 rng, scan_id, ids, centers, geoms, pc_resolutions,
-                shared_bow=shared_bow if overlapping else None)
+                shared_bow=side_bow if overlapping else None)
             ensure_dir(osp.join(scans_dir, scan_id))
             np.save(osp.join(scans_dir, scan_id, "data.npy"), rec)
             write_pkl_data(pkl, osp.join(files_dir, "data", f"{scan_id}.pkl"))

@@ -34,6 +34,7 @@ the caller's moment arithmetic is under autodiff.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -42,6 +43,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _F32 = jnp.float32
+
+
+def _flag(name: str, default: str = "0") -> bool:
+    """Experiment toggles, read at trace time (PERF.md tail-bwd ledger):
+    SGA_TAIL_G_BF16 — build the routing gradient g in bf16 (probes whether
+    the current Mosaic still rejects the i1->(16,128) predicate relayout;
+    re-measured 2026-08-19: still "Invalid relayout" at the whole-block
+    shape);
+    SGA_TAIL_FWD_IDX — compute argmax/argmin in the FORWARD (where they
+    share the pooling scan with max/min) and save the indices for the
+    backward. Default ON: measured +6 pairs/s on the flagship bench
+    (776.3 -> 782.4, non-overlapping windows); set =0 to opt out."""
+    return os.environ.get(name, default) == "1"
 
 
 def _acc_dtype(dtype):
@@ -64,7 +78,7 @@ def _z_tile(xs, w_ref, t: int, p: int, c: int):
 
 def _fwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
                 pmax_ref, pmin_ref, ssum_ref, ssumsq_ref,
-                *, t: int, p: int):
+                amax_ref=None, amin_ref=None, *, t: int, p: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -79,6 +93,9 @@ def _fwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
     z3 = z.reshape(t, p, -1).astype(acc)
     pmax_ref[:] = jnp.max(z3, axis=1).astype(pmax_ref.dtype)
     pmin_ref[:] = jnp.min(z3, axis=1).astype(pmin_ref.dtype)
+    if amax_ref is not None:
+        amax_ref[:] = jnp.argmax(z3, axis=1).astype(jnp.int32)
+        amin_ref[:] = jnp.argmin(z3, axis=1).astype(jnp.int32)
 
     # Reduce over points FIRST, then mask-weight per object: a [T,1,1] mask
     # broadcast over [T,P,K] needs sublane+lane broadcast at once, which
@@ -93,7 +110,30 @@ def _fwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
 def _bwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
                 dpmax_ref, dpmin_ref, dsum_ref, dsumsq_ref,
                 dx1_ref, dx2_ref, dx3_ref, dx4_ref, dw_ref,
-                *, t: int, p: int):
+                *, t: int, p: int, g_bf16: bool = False):
+    return _bwd_body(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
+                     dpmax_ref, dpmin_ref, dsum_ref, dsumsq_ref,
+                     None, None, dx1_ref, dx2_ref, dx3_ref, dx4_ref, dw_ref,
+                     t=t, p=p, g_bf16=g_bf16)
+
+
+def _bwd_kernel_idx(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
+                    dpmax_ref, dpmin_ref, dsum_ref, dsumsq_ref,
+                    amax_ref, amin_ref,
+                    dx1_ref, dx2_ref, dx3_ref, dx4_ref, dw_ref,
+                    *, t: int, p: int, g_bf16: bool = False):
+    return _bwd_body(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
+                     dpmax_ref, dpmin_ref, dsum_ref, dsumsq_ref,
+                     amax_ref, amin_ref,
+                     dx1_ref, dx2_ref, dx3_ref, dx4_ref, dw_ref,
+                     t=t, p=p, g_bf16=g_bf16)
+
+
+def _bwd_body(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
+              dpmax_ref, dpmin_ref, dsum_ref, dsumsq_ref,
+              amax_ref, amin_ref,
+              dx1_ref, dx2_ref, dx3_ref, dx4_ref, dw_ref,
+              *, t: int, p: int, g_bf16: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -107,21 +147,29 @@ def _bwd_kernel(x1_ref, x2_ref, x3_ref, x4_ref, w_ref, m_ref,
     k = z.shape[-1]
     z3 = z.reshape(t, p, k)
 
-    # pool routing: first-index argmax/argmin rows (torch.max semantics),
-    # recomputed here from z (Mosaic arg-reductions need f32)
+    # pool routing: first-index argmax/argmin rows (torch.max semantics) —
+    # recomputed here from z (Mosaic arg-reductions need f32), or read from
+    # the forward-saved indices under SGA_TAIL_FWD_IDX
     acc = _acc_dtype(dt)
-    zf = z3.astype(jnp.float32) if acc == jnp.float32 else z3
-    amax = jnp.argmax(zf, axis=1).astype(jnp.int32)     # [T, K]
-    amin = jnp.argmin(zf, axis=1).astype(jnp.int32)
+    if amax_ref is not None:
+        amax = amax_ref[:]
+        amin = amin_ref[:]
+    else:
+        zf = z3.astype(jnp.float32) if acc == jnp.float32 else z3
+        amax = jnp.argmax(zf, axis=1).astype(jnp.int32)     # [T, K]
+        amin = jnp.argmin(zf, axis=1).astype(jnp.int32)
     pt = jax.lax.broadcasted_iota(jnp.int32, (t, p, k), 1)
     # NOTE: g must stay f32 — building it in bf16 halves the live set but the
     # i1 predicate of the iota-compare is (8,128)-tiled and Mosaic cannot
     # relayout it to bf16's packed (16,128) select ("Invalid relayout",
-    # measured round 3)
+    # measured round 3; re-confirmed round 4 at the whole-block
+    # [16,512,1024] shape — retestable via SGA_TAIL_G_BF16=1)
+    gdt = dt if g_bf16 else acc
     g = jnp.where(pt == amax[:, None, :],
-                  dpmax_ref[:].astype(acc)[:, None, :], 0.0)
+                  dpmax_ref[:].astype(gdt)[:, None, :], jnp.array(0, gdt))
     g += jnp.where(pt == amin[:, None, :],
-                   dpmin_ref[:].astype(acc)[:, None, :], 0.0)
+                   dpmin_ref[:].astype(gdt)[:, None, :], jnp.array(0, gdt))
+    g = g.astype(acc)
     # BN batch-stat path: dz = mask · (dssum + 2 z dssumsq). Fold the mask
     # into per-object [T, K] coefficients first (lane-only broadcasts);
     # [T, 1, K] -> [T, P, K] is then a sublane-only broadcast.
@@ -184,13 +232,18 @@ def _compiler_params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 
 
-def _forward(x1, x2, x3, x4, w, mask, interpret):
+def _forward(x1, x2, x3, x4, w, mask, interpret, save_idx=False):
     o, p, c = x1.shape
     k = w.shape[1]
     acc = _acc_dtype(x1.dtype)
     t = _pick_tile(o, p, k, x1.dtype.itemsize, bwd=False)
     if t is None:
         return _unfused([x1, x2, x3, x4], w, mask), False
+    idx_specs, idx_shapes = [], []
+    if save_idx:
+        idx_specs = [pl.BlockSpec((t, k), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        idx_shapes = [jax.ShapeDtypeStruct((o, k), jnp.int32)] * 2
     outs = pl.pallas_call(
         partial(_fwd_kernel, t=t, p=p),
         grid=(o // t,),
@@ -201,9 +254,9 @@ def _forward(x1, x2, x3, x4, w, mask, interpret):
         out_specs=[pl.BlockSpec((t, k), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec((1, k), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)] * 2,
+                        memory_space=pltpu.VMEM)] * 2 + idx_specs,
         out_shape=[jax.ShapeDtypeStruct((o, k), acc)] * 2
-        + [jax.ShapeDtypeStruct((1, k), acc)] * 2,
+        + [jax.ShapeDtypeStruct((1, k), acc)] * 2 + idx_shapes,
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(x1, x2, x3, x4, w, mask)
@@ -221,12 +274,15 @@ def pct_tail_fused(x1, x2, x3, x4, w, mask, interpret=False):
 
 
 def _fwd_rule(x1, x2, x3, x4, w, mask, interpret):
-    outs, kernel_ok = _forward(x1, x2, x3, x4, w, mask, interpret)
-    return outs, (x1, x2, x3, x4, w, mask, kernel_ok)
+    save_idx = _flag("SGA_TAIL_FWD_IDX", default="1")
+    outs, kernel_ok = _forward(x1, x2, x3, x4, w, mask, interpret,
+                               save_idx=save_idx)
+    idx = outs[4:6] if (save_idx and kernel_ok) else None
+    return outs[:4], (x1, x2, x3, x4, w, mask, kernel_ok, idx)
 
 
 def _bwd_rule(interpret, residuals, cts):
-    x1, x2, x3, x4, w, mask, kernel_ok = residuals
+    x1, x2, x3, x4, w, mask, kernel_ok, idx = residuals
     dpmax, dpmin, dsum, dsumsq = cts
     o, p, c = x1.shape
     k = w.shape[1]
@@ -241,8 +297,13 @@ def _bwd_rule(interpret, residuals, cts):
         grads = jax.grad(ref_fn, argnums=(0, 1, 2, 3, 4))(x1, x2, x3, x4, w)
         return (*grads, jnp.zeros_like(mask))
 
+    kern = _bwd_kernel_idx if idx is not None else _bwd_kernel
+    idx_args = list(idx) if idx is not None else []
+    idx_specs = ([pl.BlockSpec((t, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 2
+                 if idx is not None else [])
     grads = pl.pallas_call(
-        partial(_bwd_kernel, t=t, p=p),
+        partial(kern, t=t, p=p, g_bf16=_flag("SGA_TAIL_G_BF16")),
         grid=(o // t,),
         in_specs=[pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] * 4
@@ -251,7 +312,7 @@ def _bwd_rule(interpret, residuals, cts):
         + [pl.BlockSpec((t, k), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec((1, k), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)] * 2,
+                        memory_space=pltpu.VMEM)] * 2 + idx_specs,
         out_specs=[pl.BlockSpec((t, p, c), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec((4 * c, k), lambda i: (0, 0),
@@ -260,7 +321,7 @@ def _bwd_rule(interpret, residuals, cts):
         + [jax.ShapeDtypeStruct((4 * c, k), _acc_dtype(x1.dtype))],
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(x1, x2, x3, x4, w, mask, dpmax, dpmin, dsum, dsumsq)
+    )(x1, x2, x3, x4, w, mask, dpmax, dpmin, dsum, dsumsq, *idx_args)
     dx1, dx2, dx3, dx4, dw = grads
     return (dx1, dx2, dx3, dx4, dw.astype(w.dtype), jnp.zeros_like(mask))
 

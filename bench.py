@@ -41,7 +41,11 @@ BATCH_SIZE = 32
 MAX_OBJECTS = 32
 POINTS_PER_OBJECT = 512
 COMPACT_SLOTS = 40
-POOLED_BUCKET = 128   # batch-pooled object compaction (data/batch.py)
+POOLED_BUCKET = 128   # batch-pooled object compaction (data/batch.py);
+                      # round-4 sweep (PERF.md): 112 and 128 round to the
+                      # SAME pooled axis at bench occupancy (894 real
+                      # objects -> 896 slots) and 96 rounds to MORE (960,
+                      # -9%) — no adaptivity win exists at these shapes
 WARMUP_STEPS = 5
 WINDOW_STEPS = 20
 N_WINDOWS = 3

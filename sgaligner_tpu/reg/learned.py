@@ -312,7 +312,8 @@ class LearnedBackend:
             if not active:
                 break
             outs = register_round(self, [pairs[i] for i in active],
-                                  seed=self.seed + 1009 * attempt)
+                                  seed=self.seed + 1009 * attempt,
+                                  diversify_fps=attempt > 0)
             still = []
             for i, res in zip(active, outs):
                 if res is not None and (results[i] is None

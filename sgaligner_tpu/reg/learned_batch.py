@@ -97,9 +97,16 @@ def _topk_nms_refine(tfs: np.ndarray, scores: np.ndarray,
     return out
 
 
-def _prep_round(backend, pairs, seed):
+def _prep_round(backend, pairs, seed, diversify_fps: bool = False):
     """Stage 1: host downsample + ONE batched FPS + host patch building.
-    Returns [(src_prep, ref_prep)] per pair."""
+    Returns [(src_prep, ref_prep)] per pair.
+
+    ``diversify_fps`` (retry attempts): random FPS START per cloud. When the
+    downsampled clouds fit under ``max_points`` the downsample is
+    deterministic, so without this, retry attempts re-run the IDENTICAL
+    superpoint placement and only the RANSAC keys change — measured on the
+    real example scans, where superpoint luck is the dominant failure factor
+    at low overlap. The first attempt keeps start 0 (the trained placement)."""
     import jax.numpy as jnp
 
     from sgaligner_tpu.ops.fps import farthest_point_sample
@@ -117,17 +124,22 @@ def _prep_round(backend, pairs, seed):
     bucket = _pow2(max(len(c) for c in clouds), 256)
     pts_pad = np.zeros((g, bucket, 3), np.float32)
     valid = np.zeros((g, bucket), bool)
+    starts = np.zeros((g,), np.int32)
     for i, c in enumerate(clouds):
         pts_pad[i, : len(c)] = c
         valid[i, : len(c)] = True
+        if diversify_fps:
+            starts[i] = np.random.default_rng((seed, i, 17)).integers(len(c))
     sp_idx = np.asarray(farthest_point_sample(
-        jnp.asarray(pts_pad), backend.n_super, mask=jnp.asarray(valid)))
+        jnp.asarray(pts_pad), backend.n_super, start_idx=jnp.asarray(starts),
+        mask=jnp.asarray(valid)))
     preps = [_finish_prep(c, sp_idx[i], backend.n_super, backend.patch_m)
              for i, c in enumerate(clouds)]
     return [(preps[2 * i], preps[2 * i + 1]) for i in range(len(pairs))]
 
 
-def register_round(backend, pairs, seed: int) -> list[dict | None]:
+def register_round(backend, pairs, seed: int,
+                   diversify_fps: bool = False) -> list[dict | None]:
     """One registration attempt over ``pairs`` (list of (src, ref) arrays),
     every device stage batched. Returns one result dict (with fit_score) or
     None per pair."""
@@ -143,7 +155,7 @@ def register_round(backend, pairs, seed: int) -> list[dict | None]:
     n_pairs = len(pairs)
     if n_pairs == 0:
         return []
-    preps = _prep_round(backend, pairs, seed)
+    preps = _prep_round(backend, pairs, seed, diversify_fps=diversify_fps)
 
     # ---- stage 2: matcher forward, one vmapped dispatch (pad B to pow2 by
     # repeating pair 0; extras dropped on host)
@@ -276,12 +288,18 @@ def register_round(backend, pairs, seed: int) -> list[dict | None]:
 
     # ---- stage 8: final verification, best candidate per pair
     results: list[dict | None] = [None] * n_pairs
+    diag = bool(getattr(backend, "diag", False))
     for i in act:
         best = None
+        rows = []
         for c in range(len(cands[i])):
             est = ests[(i, c)]
             score = _fit_score(nns[i], preps[i][0]["points"], est,
                                backend.voxel_size)
+            if diag:
+                rows.append({"est": est,
+                             "init": np.asarray(cands[i][c][0], np.float64),
+                             "fit_score": score})
             if best is None or score > best[0]:
                 best = (score, est, cands[i][c][1])
         if best is None:
@@ -294,4 +312,6 @@ def register_round(backend, pairs, seed: int) -> list[dict | None]:
             "corr_scores": scores,
             "fit_score": score,
         }
+        if diag:
+            results[i]["candidates"] = rows
     return results

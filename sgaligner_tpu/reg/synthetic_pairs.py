@@ -150,6 +150,61 @@ def make_scene_room(rng: np.random.Generator, n_points: int = 4096
     return pts.astype(np.float32)
 
 
+def roughen_scene(rng: np.random.Generator, pts: np.ndarray,
+                  bump_amp: float = 0.025, bump_waves: int = 6,
+                  hole_frac: float = 0.12, density_strength: float = 0.5
+                  ) -> np.ndarray:
+    """Degrade an ideal synthetic scene toward real-reconstruction statistics.
+
+    Measured on the reference's example scans (data.npy): real clouds are
+    bumpy (only 2-5% of 48-NN neighborhoods are strictly planar vs ~100% on
+    ideal synthetic walls), have occlusion holes, and sample density varies
+    smoothly across the scene. Three matched degradations:
+
+    * multi-scale surface displacement — a sum of ``bump_waves`` random
+      low-frequency 3-D sinusoids, ~``bump_amp`` m amplitude (cm-scale
+      reconstruction bumps, NOT white noise: neighborhoods stay coherent);
+    * occlusion holes — points inside random balls removed until about
+      ``hole_frac`` of the cloud is gone;
+    * smooth density variation — probabilistic keep by a low-frequency field
+      (``density_strength`` = peak-to-trough keep-probability swing).
+    """
+    pts = np.asarray(pts, np.float32)
+    # smooth displacement field: sum of random plane waves per axis
+    disp = np.zeros_like(pts)
+    for _ in range(bump_waves):
+        k = rng.normal(size=3)
+        k *= rng.uniform(1.5, 6.0) / np.linalg.norm(k)   # wavelength ~1-4 m
+        phase = rng.uniform(0, 2 * np.pi)
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        disp += np.sin(pts @ k + phase)[:, None] * axis
+    disp *= bump_amp / max(bump_waves ** 0.5, 1.0)
+    pts = pts + disp.astype(np.float32)
+
+    keep = np.ones(len(pts), bool)
+    # occlusion holes
+    target = int(len(pts) * hole_frac)
+    removed = 0
+    for _ in range(24):
+        if removed >= target:
+            break
+        c = pts[rng.integers(len(pts))]
+        r = rng.uniform(0.15, 0.45)
+        inside = keep & (np.sum((pts - c) ** 2, axis=1) < r * r)
+        removed += int(inside.sum())
+        keep[inside] = False
+    # smooth density variation
+    k = rng.normal(size=3)
+    k *= rng.uniform(1.0, 3.0) / np.linalg.norm(k)
+    field = 0.5 * (1 + np.sin(pts @ k + rng.uniform(0, 2 * np.pi)))  # [0, 1]
+    p_keep = 1.0 - density_strength * field
+    keep &= rng.random(len(pts)) < p_keep
+    if keep.sum() < 512:      # degenerate degradation: keep the bumpy cloud
+        return pts
+    return pts[keep]
+
+
 def make_pair(rng: np.random.Generator, n_points: int = 4096,
               overlap: float = 0.6, noise: float = 0.005,
               max_angle_deg: float = 360.0, max_trans: float = 1.0,

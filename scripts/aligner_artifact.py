@@ -48,7 +48,21 @@ BENCH = dict(n_shared=8, n_extra=6, pts_per_obj=256, pc_resolutions=[512],
 TRAIN_SEED, VAL_SEED = 1001, 2002
 N_TRAIN_PAIRS, N_VAL_PAIRS = 96, 32
 MAX_EPOCH = 40
-CONFIGS = {"point": ["point"], "full": ["point", "gat", "rel", "attr"]}
+# Per-config training recipes. "point" and "eva" reproduce the reference's
+# recipe exactly (Adam flat 1e-3, no scheduler — its cosine/warmup helpers
+# are dead code, utils/torch_util.py:110-145). "full" — the flagship — goes
+# PAST it (VERDICT r4 item 6): longer run + warmup-cosine decay, which the
+# framework's factory supports first-class (engine/factory.py).
+CONFIGS = {
+    "point": dict(modules=["point"], model_name="sgaligner",
+                  epochs=MAX_EPOCH, scheduler="none", lr=1e-3),
+    "full": dict(modules=["point", "gat", "rel", "attr"],
+                 model_name="sgaligner", epochs=120,
+                 scheduler="warmup-cosine", lr=2e-3),
+    "eva": dict(modules=["point", "gcn", "rel", "attr"], model_name="eva",
+                epochs=MAX_EPOCH, scheduler="none", lr=1e-3),
+}
+STEPS_PER_EPOCH = N_TRAIN_PAIRS // 8  # train batch_size 8, drop_last
 
 
 def build_benchmark_workspace(root: str) -> None:
@@ -61,12 +75,18 @@ def build_benchmark_workspace(root: str) -> None:
 
 
 def write_cfg(path: str, root: str, modules: list[str],
-              max_epoch: int = MAX_EPOCH) -> str:
+              max_epoch: int = MAX_EPOCH, model_name: str = "sgaligner",
+              scheduler: str = "none", lr: float = 1e-3) -> str:
     mods = ", ".join(f"'{m}'" for m in modules)
+    sched = ""
+    if scheduler not in ("none", "", None):
+        sched = (f"\n  scheduler: '{scheduler}'"
+                 f"\n  steps_per_epoch: {STEPS_PER_EPOCH}"
+                 f"\n  warmup_steps: {5 * STEPS_PER_EPOCH}")
     text = f"""
 seed: 42
 num_workers: 2
-model_name: 'sgaligner'
+model_name: '{model_name}'
 modules: [{mods}]
 scan_type: 'subscan'
 data:
@@ -83,6 +103,7 @@ val:
   pc_res: 512
 optim:
   max_epoch: {max_epoch}
+  lr: {lr}{sched}
 tpu:
   max_objects: 16
   points_per_object: 512
@@ -93,8 +114,14 @@ tpu:
     return path
 
 
-def eval_snapshot(cfg_path: str, snapshot: str, output_root: str) -> dict:
-    from sgaligner_tpu.cli.inference_align_reg import main as infer_main
+def eval_snapshot(cfg_path: str, snapshot: str, output_root: str,
+                  model_name: str = "sgaligner") -> dict:
+    # EVA goes through its own tester entry point, as in the reference
+    # (src/inference/eva/inference_align.py)
+    if model_name == "eva":
+        from sgaligner_tpu.cli.inference_align_eva import main as infer_main
+    else:
+        from sgaligner_tpu.cli.inference_align_reg import main as infer_main
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -107,30 +134,41 @@ def eval_snapshot(cfg_path: str, snapshot: str, output_root: str) -> dict:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--workdir", default="runs/aligner_artifact")
-    ap.add_argument("--epochs", type=int, default=MAX_EPOCH)
+    ap.add_argument("--configs", nargs="+", default=list(CONFIGS),
+                    choices=list(CONFIGS))
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override every selected config's epoch count")
     ap.add_argument("--skip_copy", action="store_true",
                     help="do not update checkpoints/aligner_*")
     args = ap.parse_args(argv)
-
-    from sgaligner_tpu.cli.trainval_sgaligner import main as train_main
 
     ws = osp.join(args.workdir, "ws")
     os.makedirs(ws, exist_ok=True)
     build_benchmark_workspace(ws)
 
     table = {}
-    for name, modules in CONFIGS.items():
-        cfg_path = write_cfg(osp.join(args.workdir, f"cfg_{name}.yaml"), ws,
-                             modules, max_epoch=args.epochs)
+    for name in args.configs:
+        rec = CONFIGS[name]
+        modules = rec["modules"]
+        if rec["model_name"] == "eva":
+            from sgaligner_tpu.cli.trainval_eva import main as train_main
+        else:
+            from sgaligner_tpu.cli.trainval_sgaligner import main as train_main
+        cfg_path = write_cfg(
+            osp.join(args.workdir, f"cfg_{name}.yaml"), ws, modules,
+            max_epoch=args.epochs or rec["epochs"],
+            model_name=rec["model_name"], scheduler=rec["scheduler"],
+            lr=rec["lr"])
         out_root = osp.join(args.workdir, f"out_{name}")
         rc = train_main(["--config", cfg_path, "--output_root", out_root])
         assert rc == 0
-        snap_dir = osp.join(out_root, "output", "Scan3R", "sgaligner",
+        snap_dir = osp.join(out_root, "output", "Scan3R", rec["model_name"],
                             "_".join(modules), "snapshots")
         src_snap = osp.join(snap_dir, "best_snapshot")
         if not osp.isdir(src_snap):
             src_snap = osp.join(snap_dir, "snapshot")
-        results = eval_snapshot(cfg_path, src_snap, out_root)
+        results = eval_snapshot(cfg_path, src_snap, out_root,
+                                model_name=rec["model_name"])
         table[name] = results
         if not args.skip_copy:
             dst = osp.join(REPO, "checkpoints", f"aligner_{name}")
@@ -143,6 +181,9 @@ def main(argv=None) -> int:
             with open(osp.join(dst, "quality.json"), "w") as f:
                 json.dump({"bench": BENCH, "val_seed": VAL_SEED,
                            "n_val_pairs": N_VAL_PAIRS, "modules": modules,
+                           "model_name": rec["model_name"],
+                           "recipe": {k: rec[k] for k in
+                                      ("epochs", "scheduler", "lr")},
                            "results": results}, f, indent=2, default=float)
             print(f"snapshot -> {dst}")
 

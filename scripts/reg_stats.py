@@ -1,0 +1,136 @@
+"""Multi-seed statistical evaluation of the learned registration engine.
+
+VERDICT r4 item 1a: every registration quality claim must be a DISTRIBUTION,
+not an n=8 single-seed point — judge replication measured +/-2 hits across
+seeds on the scene_2 0.3 band. This harness re-measures each domain at
+n >= 32 pairs per overlap band across >= 4 disjoint seeds and reports
+mean +/- min/max per band, machine-readable for the PARITY tables and the CI
+pins (tests/test_learned_reg.py).
+
+Domains:
+  scene_1 / scene_2 — crops of the reference's shipped real scans
+    (example_data/*/data.npy, the only real 3RScan data in this environment),
+    via reg/eval_geo.py::evaluate_cloud (independently-subsampled partial
+    views, arbitrary SO(3)+t, 5 mm noise). The reference's own table rows
+    (README.md:182-188) are earned on full 3RScan val — unavailable here —
+    so these crops are the comparable real-geometry signal.
+  patches / room — the synthetic held-out families (reg/synthetic_pairs.py).
+
+Usage:
+  JAX_PLATFORMS=tpu,cpu python scripts/reg_stats.py \
+      --checkpoint checkpoints/geo_reg --pairs 32 --seeds 11 22 33 44 \
+      --overlaps 0.2 0.3 0.4 --domains scene_1 scene_2 \
+      --out runs/reg_stats/r5.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EXAMPLE = "/root/reference/example_data"
+
+
+def run_domain(backend, domain: str, overlaps, n_pairs: int, seed: int):
+    from sgaligner_tpu.reg.eval_geo import evaluate, evaluate_cloud
+
+    if domain in ("scene_1", "scene_2"):
+        from sgaligner_tpu.utils.io import load_plydata_npy
+
+        cloud = load_plydata_npy(os.path.join(EXAMPLE, domain, "data.npy"))
+        return evaluate_cloud(backend, cloud, overlaps=tuple(overlaps),
+                              n_pairs=n_pairs, seed=seed, verbose=False)
+    return evaluate(backend, overlaps=tuple(overlaps), n_pairs=n_pairs,
+                    seed=seed, scene_kind=domain, verbose=False)
+
+
+def aggregate(per_seed: dict, overlaps) -> dict:
+    """Across-seed summary per band: hits mean +/- min/max, pooled rates."""
+    out = {}
+    for ov in overlaps:
+        rows = [per_seed[s][ov] for s in per_seed]
+        hits = [r["hits"] for r in rows]
+        n = rows[0]["n"]
+        out[str(ov)] = {
+            "n_per_seed": n,
+            "seeds": len(rows),
+            "hits_per_seed": hits,
+            "hits_mean": float(np.mean(hits)),
+            "hits_min": int(min(hits)),
+            "hits_max": int(max(hits)),
+            "recall_pooled": float(sum(hits)) / (n * len(rows)),
+            "RRE_hit_mean": float(np.nanmean([r["RRE_hit"] for r in rows])),
+            "RTE_hit_mean": float(np.nanmean([r["RTE_hit"] for r in rows])),
+            "CD_mean": float(np.nanmean([r["CD"] for r in rows])),
+            "FMR_mean": float(np.mean([r["FMR"] for r in rows])),
+            "RR_mean": float(np.mean([r["RR"] for r in rows])),
+        }
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--checkpoint", type=str, default="checkpoints/geo_reg")
+    ap.add_argument("--pairs", type=int, default=32)
+    ap.add_argument("--seeds", type=int, nargs="+",
+                    default=[11_000, 22_000, 33_000, 44_000])
+    ap.add_argument("--overlaps", type=float, nargs="+",
+                    default=[0.2, 0.3, 0.4])
+    ap.add_argument("--domains", type=str, nargs="+",
+                    default=["scene_1", "scene_2"],
+                    choices=["scene_1", "scene_2", "patches", "room",
+                             "patches+rough", "room+rough"])
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--retries", type=int, default=None,
+                    help="override the backend's retry count")
+    args = ap.parse_args(argv)
+
+    from sgaligner_tpu.core.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    from sgaligner_tpu.reg.learned import LearnedBackend
+
+    kw = {} if args.retries is None else {"retries": args.retries}
+    backend = LearnedBackend(checkpoint=args.checkpoint, **kw)
+
+    report = {"checkpoint": args.checkpoint, "pairs": args.pairs,
+              "seeds": args.seeds, "overlaps": args.overlaps,
+              "retries": args.retries, "domains": {}}
+    for domain in args.domains:
+        per_seed = {}
+        for seed in args.seeds:
+            t0 = time.perf_counter()
+            per_seed[seed] = run_domain(backend, domain, args.overlaps,
+                                        args.pairs, seed)
+            dt = time.perf_counter() - t0
+            line = "  ".join(
+                f"{ov}: {per_seed[seed][ov]['hits']}/{args.pairs}"
+                for ov in args.overlaps)
+            print(f"[{domain} seed {seed}] {line}  ({dt:.0f}s)", flush=True)
+        agg = aggregate(per_seed, args.overlaps)
+        report["domains"][domain] = agg
+        for ov in args.overlaps:
+            a = agg[str(ov)]
+            print(f"[{domain}] overlap {ov}: hits {a['hits_mean']:.1f} "
+                  f"[{a['hits_min']}-{a['hits_max']}]/{args.pairs} over "
+                  f"{a['seeds']} seeds  pooled recall "
+                  f"{a['recall_pooled']:.3f}  RRE_hit "
+                  f"{a['RRE_hit_mean']:.2f}deg  RTE_hit "
+                  f"{a['RTE_hit_mean'] * 100:.1f}cm", flush=True)
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

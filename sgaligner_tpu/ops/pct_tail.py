@@ -54,7 +54,11 @@ def _flag(name: str, default: str = "0") -> bool:
     SGA_TAIL_FWD_IDX — compute argmax/argmin in the FORWARD (where they
     share the pooling scan with max/min) and save the indices for the
     backward. Default ON: measured +6 pairs/s on the flagship bench
-    (776.3 -> 782.4, non-overlapping windows); set =0 to opt out."""
+    (776.3 -> 782.4, non-overlapping windows); set =0 to opt out.
+
+    NOTE: read at TRACE time — each toggle is captured when the vjp is first
+    traced, so flipping the env var mid-process has no effect on already-
+    compiled programs; set flags before the first forward/backward call."""
     return os.environ.get(name, default) == "1"
 
 
@@ -213,6 +217,9 @@ def _pick_tile(o: int, p: int, k: int, itemsize: int, bwd: bool) -> int | None:
     # live set ≈ 4 inputs + z (+ f32 g and dx's in bwd); [T, K] outputs need
     # T % 8 == 0 (sublane) unless T == O
     per = p * (4 * 128 * itemsize + k * itemsize)
+    # two int32 [T, K] argmax/argmin blocks (SGA_TAIL_FWD_IDX default-on):
+    # fwd outputs / bwd inputs
+    per += 2 * k * 4
     if bwd:
         per += p * k * (4 + itemsize) + 4 * p * 128 * itemsize
     # bwd t=16 measured ~5% faster than t=8 at O=896 despite the bigger live

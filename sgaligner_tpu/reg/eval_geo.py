@@ -164,7 +164,7 @@ def main(argv=None):
     ap.add_argument("--no_fine", action="store_true",
                     help="disable the fine point-matching stage (ablation)")
     ap.add_argument("--scene_kind", type=str, default="patches",
-                    choices=["patches", "room", "mix"])
+                    choices=["patches", "room", "mix", "patches+rough", "room+rough", "mix+rough"])
     ap.add_argument("--cloud", type=str, default=None,
                     help="structured data.npy scan: evaluate on crops of this"
                          " REAL cloud instead of synthetic scenes")

@@ -291,7 +291,7 @@ class LearnedBackend:
                  gt_transform: np.ndarray | None = None) -> dict | None:
         return self.register_batch([(src_points, ref_points)])[0]
 
-    def register_batch(self, pairs, gt_transforms=None) -> list[dict | None]:
+    def register_batch(self, pairs) -> list[dict | None]:
         """Register MANY pairs with one device dispatch per pipeline stage
         per retry round (reg/learned_batch.py) — the TPU-first answer to the
         reference evaluator's per-pair GeoTransformer loop, its measured
@@ -303,7 +303,15 @@ class LearnedBackend:
         first draw landed 1-2 (measured on the real example scans). Only
         pairs whose best verification score stays below
         ``retry_score_thresh`` join the next round, so easy pairs pay one
-        attempt. Returns one result dict (or None) per input pair."""
+        attempt. Returns one result dict (or None) per input pair.
+
+        Per-pair randomness (FPS retry starts, RANSAC keys) is derived from
+        the pair's INDEX in ``pairs`` via fold_in, so a pair's stream does
+        not depend on which other pairs share a round. Residual
+        batch-composition dependence remains only through batch-common
+        PADDING (nc/bucket = max over the round), which can shift which
+        hypothesis wins a near-tie; metrics are reproducible for a fixed
+        ``pairs`` list, not bitwise across different batch compositions."""
         from sgaligner_tpu.reg.learned_batch import register_round
 
         results: list[dict | None] = [None] * len(pairs)
@@ -313,7 +321,8 @@ class LearnedBackend:
                 break
             outs = register_round(self, [pairs[i] for i in active],
                                   seed=self.seed + 1009 * attempt,
-                                  diversify_fps=attempt > 0)
+                                  diversify_fps=attempt > 0,
+                                  pair_ids=active)
             still = []
             for i, res in zip(active, outs):
                 if res is not None and (results[i] is None

@@ -97,7 +97,8 @@ def _topk_nms_refine(tfs: np.ndarray, scores: np.ndarray,
     return out
 
 
-def _prep_round(backend, pairs, seed, diversify_fps: bool = False):
+def _prep_round(backend, pairs, seed, diversify_fps: bool = False,
+                pair_ids=None):
     """Stage 1: host downsample + ONE batched FPS + host patch building.
     Returns [(src_prep, ref_prep)] per pair.
 
@@ -106,12 +107,19 @@ def _prep_round(backend, pairs, seed, diversify_fps: bool = False):
     deterministic, so without this, retry attempts re-run the IDENTICAL
     superpoint placement and only the RANSAC keys change — measured on the
     real example scans, where superpoint luck is the dominant failure factor
-    at low overlap. The first attempt keeps start 0 (the trained placement)."""
+    at low overlap. The first attempt keeps start 0 (the trained placement).
+
+    ``pair_ids`` are the pairs' STABLE identities (``register_batch`` passes
+    each pair's original batch index); per-cloud randomness is keyed on them,
+    not on the position within the round, so a pair's retry stream does not
+    depend on which other pairs are still active."""
     import jax.numpy as jnp
 
     from sgaligner_tpu.ops.fps import farthest_point_sample
     from sgaligner_tpu.reg.learned import _downsample_cloud, _finish_prep
 
+    if pair_ids is None:
+        pair_ids = list(range(len(pairs)))
     clouds = []
     for src_points, ref_points in pairs:
         # one rng per pair, consumed src-then-ref — the serial path's order
@@ -128,8 +136,11 @@ def _prep_round(backend, pairs, seed, diversify_fps: bool = False):
     for i, c in enumerate(clouds):
         pts_pad[i, : len(c)] = c
         valid[i, : len(c)] = True
-        if diversify_fps:
-            starts[i] = np.random.default_rng((seed, i, 17)).integers(len(c))
+        if diversify_fps and len(c):
+            # empty clouds keep start 0 and fall through to the
+            # too-few-superpoints None path downstream
+            starts[i] = np.random.default_rng(
+                (seed, pair_ids[i // 2], i % 2, 17)).integers(len(c))
     sp_idx = np.asarray(farthest_point_sample(
         jnp.asarray(pts_pad), backend.n_super, start_idx=jnp.asarray(starts),
         mask=jnp.asarray(valid)))
@@ -139,10 +150,12 @@ def _prep_round(backend, pairs, seed, diversify_fps: bool = False):
 
 
 def register_round(backend, pairs, seed: int,
-                   diversify_fps: bool = False) -> list[dict | None]:
+                   diversify_fps: bool = False,
+                   pair_ids=None) -> list[dict | None]:
     """One registration attempt over ``pairs`` (list of (src, ref) arrays),
     every device stage batched. Returns one result dict (with fit_score) or
-    None per pair."""
+    None per pair. ``pair_ids`` (default: positional) key each pair's
+    randomness so results don't depend on which other pairs share the round."""
     import jax
 
     from sgaligner_tpu.reg.learned import (
@@ -155,7 +168,10 @@ def register_round(backend, pairs, seed: int,
     n_pairs = len(pairs)
     if n_pairs == 0:
         return []
-    preps = _prep_round(backend, pairs, seed, diversify_fps=diversify_fps)
+    if pair_ids is None:
+        pair_ids = list(range(n_pairs))
+    preps = _prep_round(backend, pairs, seed, diversify_fps=diversify_fps,
+                        pair_ids=pair_ids)
 
     # ---- stage 2: matcher forward, one vmapped dispatch (pad B to pow2 by
     # repeating pair 0; extras dropped on host)
@@ -206,35 +222,42 @@ def register_round(backend, pairs, seed: int,
                 fine_results[i] = fine
 
     # ---- stage 5: RANSAC hypotheses over every (pair, corr-set) instance,
-    # one batched dispatch
-    instances = []   # (pair_idx, src_corr, ref_corr, threshold, corrs_tuple)
+    # one batched dispatch. Each instance's PRNG key is derived from
+    # (seed, stable pair id, role) via fold_in, so a pair's sampling stream
+    # is independent of the batch composition and instances never share keys.
+    instances = []   # (pair_idx, role, src_corr, ref_corr, thresh, corrs)
     for i in act:
         src_c, ref_c, scores, _ = coarse[i]
         fine = fine_results[i]
         if fine is not None:
             f_thresh = max(1.5 * backend.voxel_size, 0.075)
-            instances.append((i, fine[0], fine[1], f_thresh, fine))
-        instances.append((i, src_c, ref_c, backend.inlier_thresh,
+            instances.append((i, 0, fine[0], fine[1], f_thresh, fine))
+        instances.append((i, 1, src_c, ref_c, backend.inlier_thresh,
                           (src_c, ref_c, scores)))
     hyps_per_pair: dict[int, list] = {i: [] for i in act}
     if instances:
         gi = _pow2(len(instances), 1)
-        nc = _pow2(max(len(inst[1]) for inst in instances), 64)
+        nc = _pow2(max(len(inst[2]) for inst in instances), 64)
         src_p = np.zeros((gi, nc, 3), np.float32)
         ref_p = np.zeros((gi, nc, 3), np.float32)
         mask_p = np.zeros((gi, nc), bool)
         thr = np.full((gi,), 0.03, np.float32)
-        for r, (_, sc, rc, t, _c) in enumerate(instances):
+        for r, (_, _role, sc, rc, t, _c) in enumerate(instances):
             src_p[r, : len(sc)] = sc
             ref_p[r, : len(rc)] = rc
             mask_p[r, : len(sc)] = True
             thr[r] = t
-        keys = jax.vmap(jax.random.key)(np.full((gi,), seed, np.uint32))
+        base = jax.random.key(np.uint32(seed))
+        keys = jax.numpy.stack(
+            [jax.random.fold_in(jax.random.fold_in(base, pair_ids[inst[0]]),
+                                inst[1])
+             for inst in instances]
+            + [base] * (gi - len(instances)))
         tfs, scores_h = ransac_hypotheses_batch(
             src_p, ref_p, mask_p, keys, thr, iters=1000)
         tfs = np.asarray(tfs)
         scores_h = np.asarray(scores_h)
-        for r, (i, sc, rc, t, corrs) in enumerate(instances):
+        for r, (i, _role, sc, rc, t, corrs) in enumerate(instances):
             for tf in _topk_nms_refine(tfs[r], scores_h[r], sc, rc, t,
                                        k=backend.hypotheses):
                 hyps_per_pair[i].append((tf, corrs))

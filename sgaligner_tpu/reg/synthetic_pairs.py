@@ -218,16 +218,26 @@ def make_pair(rng: np.random.Generator, n_points: int = 4096,
 
     ``kind``: "patches" (default, the original feature-rich generator),
     "room" (planar indoor scenes, ``make_scene_room``), or "mix" (50/50 per
-    pair). The default leaves the rng stream and therefore every existing
-    held-out eval unchanged.
+    pair). A "+rough" suffix (e.g. "mix+rough") additionally degrades the
+    scene toward real-reconstruction statistics via ``roughen_scene``
+    (surface bumps, occlusion holes, density variation) BEFORE cropping, so
+    both views and the metric scene see the degraded cloud. The default
+    leaves the rng stream and therefore every existing held-out eval
+    unchanged.
     """
     n_scene = int(n_points / max(overlap, 0.3)) + 256
+    kind_arg = kind                   # degenerate-crop retries re-roll fresh
+    rough = kind.endswith("+rough")
+    if rough:
+        kind = kind[: -len("+rough")]
     if kind == "mix":
         kind = "room" if rng.random() < 0.5 else "patches"
     if kind == "room":
         scene = make_scene_room(rng, n_points=n_scene)
     else:
         scene = make_scene(rng, n_points=n_scene)
+    if rough:
+        scene = roughen_scene(rng, scene)
     d = rng.normal(size=3)
     d /= np.linalg.norm(d)
     proj = scene @ d
@@ -242,7 +252,7 @@ def make_pair(rng: np.random.Generator, n_points: int = 4096,
     src_world = scene[src_sel]
     if len(ref) < 64 or len(src_world) < 64:  # degenerate crop: retry
         return make_pair(rng, n_points, overlap, noise, max_angle_deg,
-                         max_trans, return_scene, kind)
+                         max_trans, return_scene, kind_arg)
     gt_inv = random_rigid(rng, max_angle_deg, max_trans)  # world -> src frame
     src = src_world @ gt_inv[:3, :3].T + gt_inv[:3, 3]
     src = src + rng.normal(size=src.shape).astype(np.float32) * noise

@@ -84,17 +84,42 @@ def gt_fine_matches(src_abs, ref_abs, src_pmask, ref_pmask, pairs,
     return fine_pairs, fine_valid, fine_tgt, fine_ref_un
 
 
+_REAL_CLOUD_CACHE: dict = {}
+
+
+def _get_real_cloud(path: str):
+    if path not in _REAL_CLOUD_CACHE:
+        from sgaligner_tpu.utils.io import load_plydata_npy
+
+        _REAL_CLOUD_CACHE[path] = load_plydata_npy(path)
+    return _REAL_CLOUD_CACHE[path]
+
+
 def _prep_training_pair(rng, cfg_prep):
     from sgaligner_tpu.reg.learned import _prep_cloud
 
     ov = cfg_prep["overlap"]
     if isinstance(ov, (tuple, list)):          # curriculum: sample per pair
         ov = float(rng.uniform(ov[0], ov[1]))
-    src_pts, ref_pts, gt = make_pair(
-        rng, n_points=cfg_prep["n_points"], overlap=ov,
-        max_angle_deg=cfg_prep["max_angle_deg"],
-        max_trans=cfg_prep["max_trans"],
-        kind=cfg_prep.get("scene_kind", "patches"))
+    real = cfg_prep.get("real_cloud")
+    if real and rng.random() < cfg_prep.get("real_frac", 0.0):
+        # real-geometry family: crops of a PROVIDED scan via the same
+        # protocol the real-scan evaluation uses (evaluate_cloud) —
+        # independently-subsampled views + sensor noise. The deployment
+        # domain (e.g. example_data scene_2) must stay held out; train on
+        # a DIFFERENT scan (scene_1).
+        from sgaligner_tpu.reg.synthetic_pairs import make_pair_from_cloud
+
+        src_pts, ref_pts, gt = make_pair_from_cloud(
+            rng, _get_real_cloud(real), overlap=ov, noise=0.005,
+            max_angle_deg=cfg_prep["max_angle_deg"],
+            max_trans=cfg_prep["max_trans"])
+    else:
+        src_pts, ref_pts, gt = make_pair(
+            rng, n_points=cfg_prep["n_points"], overlap=ov,
+            max_angle_deg=cfg_prep["max_angle_deg"],
+            max_trans=cfg_prep["max_trans"],
+            kind=cfg_prep.get("scene_kind", "patches"))
     src = _prep_cloud(src_pts, cfg_prep["n_super"], cfg_prep["patch_m"],
                       cfg_prep["voxel_size"], cfg_prep["max_points"], rng)
     ref = _prep_cloud(ref_pts, cfg_prep["n_super"], cfg_prep["patch_m"],
@@ -225,6 +250,7 @@ def train(steps: int = 1000, seed: int = 0, lr: float = 3e-4,
           max_trans: float = 1.0, batch_pairs: int = 8,
           dataset_pairs: int = 0, dataset_cache: str | None = None,
           init_from: str | None = None, scene_kind: str = "patches",
+          real_cloud: str | None = None, real_frac: float = 0.0,
           verbose: bool = True):
     """``dataset_pairs > 0`` pregenerates that many pair-preps ONCE and trains
     epochs over them (host synthesis at ~0.2 s/pair would otherwise dominate
@@ -239,7 +265,8 @@ def train(steps: int = 1000, seed: int = 0, lr: float = 3e-4,
             "max_points": 8192, "match_radius": 3.0 * voxel_size,
             "fine_radius": 1.5 * voxel_size, "fine_k": min(n_super, 32),
             "max_angle_deg": max_angle_deg, "max_trans": max_trans,
-            "scene_kind": scene_kind}
+            "scene_kind": scene_kind,
+            "real_cloud": real_cloud, "real_frac": real_frac}
     rng = np.random.default_rng(seed)
     model = GeoRegModel(cfg)
     b0, _ = _prep_training_pair(rng, prep)
@@ -389,15 +416,23 @@ def main(argv=None):
                     help="warm-start from an existing checkpoint dir "
                          "(fine-tune / curriculum extension)")
     ap.add_argument("--scene_kind", type=str, default="patches",
-                    choices=["patches", "room", "mix"],
+                    choices=["patches", "room", "mix", "patches+rough", "room+rough", "mix+rough"],
                     help="synthetic scene family (room = planar indoor "
-                         "scenes matching real-scan hardness)")
+                         "scenes matching real-scan hardness); a '+rough' "
+                         "suffix adds real-reconstruction degradations "
+                         "(bumps/holes/density, reg/synthetic_pairs.py)")
+    ap.add_argument("--real_cloud", type=str, default=None,
+                    help="structured data.npy scan: mix real-geometry crop "
+                         "pairs of this cloud into training at --real_frac "
+                         "(keep the evaluation scan held out)")
+    ap.add_argument("--real_frac", type=float, default=0.0)
     args = ap.parse_args(argv)
     train(steps=args.steps, seed=args.seed, lr=args.lr, out_dir=args.out,
           n_super=args.n_super, patch_m=args.patch_m, n_points=args.n_points,
           batch_pairs=args.batch_pairs,
           dataset_pairs=args.dataset_pairs, dataset_cache=args.dataset_cache,
           init_from=args.init_from, scene_kind=args.scene_kind,
+          real_cloud=args.real_cloud, real_frac=args.real_frac,
           overlap=(args.overlap_lo, args.overlap_hi))
 
 

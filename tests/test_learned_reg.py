@@ -224,3 +224,24 @@ def test_make_scene_room_geometry():
     # floor plane: the lowest z value is shared by many points
     z = np.round(pts[:, 2] - pts[:, 2].min(), 3)
     assert (z < 0.005).mean() > 0.10
+
+
+def test_make_pair_rough_kind():
+    """kind='room+rough' degrades the scene via roughen_scene before
+    cropping: same crop protocol, but the metric scene is no longer the
+    ideal room cloud (holes + density variation shrink it; bumps displace
+    it). Bare kinds stay bit-identical to their previous stream."""
+    from sgaligner_tpu.reg.synthetic_pairs import make_pair
+
+    rng_a = np.random.default_rng(42)
+    rng_b = np.random.default_rng(42)
+    src_a, ref_a, gt_a, scene_a = make_pair(
+        rng_a, n_points=2048, overlap=0.5, return_scene=True, kind="room")
+    src_b, ref_b, gt_b, scene_b = make_pair(
+        rng_b, n_points=2048, overlap=0.5, return_scene=True,
+        kind="room+rough")
+    assert len(scene_b) < len(scene_a)      # holes/density removed points
+    assert np.isfinite(src_b).all() and np.isfinite(ref_b).all()
+    assert len(src_b) >= 64 and len(ref_b) >= 64
+    # roughening is a genuine perturbation, not a copy
+    assert scene_a.shape != scene_b.shape or not np.allclose(scene_a, scene_b)

@@ -90,6 +90,8 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--retries", type=int, default=None,
                     help="override the backend's retry count")
+    ap.add_argument("--anchor_frac", type=float, default=None,
+                    help="override icp_anchor_frac (0 = pre-r5 ICP)")
     args = ap.parse_args(argv)
 
     from sgaligner_tpu.core.platform import honor_jax_platforms_env
@@ -98,6 +100,8 @@ def main(argv=None):
     from sgaligner_tpu.reg.learned import LearnedBackend
 
     kw = {} if args.retries is None else {"retries": args.retries}
+    if args.anchor_frac is not None:
+        kw["icp_anchor_frac"] = args.anchor_frac
     backend = LearnedBackend(checkpoint=args.checkpoint, **kw)
 
     report = {"checkpoint": args.checkpoint, "pairs": args.pairs,

@@ -87,6 +87,10 @@ def icp_refine_stages_batch(
     init_transforms: jnp.ndarray,   # [G, 4, 4]
     trims: jnp.ndarray,        # [T] max_corr_dist schedule (traced — a new
                                # voxel size does NOT recompile)
+    anchor_src: jnp.ndarray | None = None,   # [G, P, 3] corr anchors (src)
+    anchor_ref: jnp.ndarray | None = None,   # [G, P, 3] corr anchors (ref)
+    anchor_w: jnp.ndarray | None = None,     # [G, P] anchor weights (0 = pad)
+    anchor_frac: float = 0.15,
     iters: int = 10,
     chunk: int = 256,          # the [G, chunk, M] distance transient must fit
                                # comfortably at G instances
@@ -100,7 +104,19 @@ def icp_refine_stages_batch(
     per-step scanned value: a vmap over per-instance scans with the trim
     stages python-unrolled compiled in ~6.5 minutes at [32, 8192, 8192] on
     the v5e (measured) — this formulation compiles in seconds and runs
-    identically. Returns the refined transforms [G, 4, 4]."""
+    identically. Returns the refined transforms [G, 4, 4].
+
+    ``anchor_*``: optional feature-correspondence anchor springs, added to
+    every Kabsch solve with total weight ``anchor_frac`` x (that iteration's
+    trimmed-NN inlier weight). Point-to-point NN cost is TRANSLATION-
+    DEGENERATE along self-similar planar geometry — measured on scene_2
+    crops (scripts/reg_diag.py, round 5): 15/32 misses at 0.2 overlap were
+    ICP taking a hit-grade RANSAC init and sliding 20-40 cm along the
+    dominant plane (final RRE 0.0 deg, RTE 0.2-0.4 m). The anchors are the
+    candidate's own matcher correspondences: negligible pull (~anchor_frac /
+    (1 + anchor_frac) of any well-conditioned NN direction) but the only
+    non-flat term in the degenerate tangential direction, so sliding stops
+    at the corr consensus instead of the plane's self-similarity."""
     g, n, _ = src.shape
     src_f = src.astype(jnp.float32)
     ref_f = ref.astype(jnp.float32)
@@ -127,13 +143,28 @@ def icp_refine_stages_batch(
         idx = idx.transpose(1, 0, 2).reshape(g, -1)[:, :n]
         return d2, idx
 
+    use_anchors = anchor_src is not None
+    if use_anchors:
+        a_src = anchor_src.astype(jnp.float32)
+        a_ref = anchor_ref.astype(jnp.float32)
+        a_w = anchor_w.astype(jnp.float32)
+
     def step(tf, trim):
         moved = (jnp.einsum("gnd,ged->gne", src_f, tf[:, :3, :3])
                  + tf[:, None, :3, 3])
         d2, idx = nn_all(moved)
         w = maskf * (d2 < trim * trim)
         targets = jnp.take_along_axis(ref_f, idx[..., None], axis=1)
-        new_tf = jax.vmap(kabsch)(src_f, targets, w + 1e-12)
+        if use_anchors:
+            # normalise so anchors carry anchor_frac of the NN inlier mass
+            scale = (anchor_frac * w.sum(-1)
+                     / jnp.maximum(a_w.sum(-1), 1e-9))            # [G]
+            s_all = jnp.concatenate([src_f, a_src], axis=1)
+            t_all = jnp.concatenate([targets, a_ref], axis=1)
+            w_all = jnp.concatenate([w, a_w * scale[:, None]], axis=1)
+        else:
+            s_all, t_all, w_all = src_f, targets, w
+        new_tf = jax.vmap(kabsch)(s_all, t_all, w_all + 1e-12)
         enough = (w.sum(-1) >= 3)[:, None, None]
         return jnp.where(enough, new_tf, tf), None
 

@@ -233,7 +233,8 @@ class LearnedBackend:
                  fine: bool = True, fine_score_thresh: float = 0.2,
                  min_fine_corrs: int = 12, hypotheses: int = 3,
                  max_refine: int = 3, retries: int = 2,
-                 retry_score_thresh: float = 0.45):
+                 retry_score_thresh: float = 0.45,
+                 icp_anchor_frac: float = 0.15):
         import jax
 
         if isinstance(params, (str, bytes)):
@@ -274,6 +275,12 @@ class LearnedBackend:
         self.max_refine = max_refine
         self.retries = retries
         self.retry_score_thresh = retry_score_thresh
+        # corr-anchored ICP (reg/icp.py): fraction of each iteration's NN
+        # inlier mass carried by the candidate's matcher correspondences —
+        # pins the translation on self-similar planar geometry where the
+        # point-to-point NN cost is flat (scene_2 sliding, reg_diag r5);
+        # 0 disables (pre-r5 behavior)
+        self.icp_anchor_frac = icp_anchor_frac
         model = GeoRegModel(cfg)
         self._apply = jax.jit(partial(model.apply, {"params": params}))
         from sgaligner_tpu.reg.geo_model import fine_log_assign
@@ -316,21 +323,28 @@ class LearnedBackend:
 
         results: list[dict | None] = [None] * len(pairs)
         active = list(range(len(pairs)))
-        for attempt in range(1 + self.retries):
-            if not active:
-                break
-            outs = register_round(self, [pairs[i] for i in active],
-                                  seed=self.seed + 1009 * attempt,
-                                  diversify_fps=attempt > 0,
-                                  pair_ids=active)
-            still = []
-            for i, res in zip(active, outs):
-                if res is not None and (results[i] is None
-                                        or res["fit_score"]
-                                        > results[i]["fit_score"]):
-                    results[i] = res
-                if (results[i] is None
-                        or results[i]["fit_score"] < self.retry_score_thresh):
-                    still.append(i)
-            active = still
+        # across-round host cache (deterministic downsampled clouds +
+        # KD-trees; see reg/learned_batch._prep_round) — scoped to this call
+        self._round_cache = {}
+        try:
+            for attempt in range(1 + self.retries):
+                if not active:
+                    break
+                outs = register_round(self, [pairs[i] for i in active],
+                                      seed=self.seed + 1009 * attempt,
+                                      diversify_fps=attempt > 0,
+                                      pair_ids=active)
+                still = []
+                for i, res in zip(active, outs):
+                    if res is not None and (results[i] is None
+                                            or res["fit_score"]
+                                            > results[i]["fit_score"]):
+                        results[i] = res
+                    if (results[i] is None
+                            or results[i]["fit_score"]
+                            < self.retry_score_thresh):
+                        still.append(i)
+                active = still
+        finally:
+            self._round_cache = None
         return results

@@ -25,7 +25,29 @@ the score-gated retry loop; ``register_round`` here is one attempt.
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
+
 import numpy as np
+
+
+@contextmanager
+def _timed(backend, stage: str):
+    """Accumulate wall-clock per pipeline stage into backend._stage_times
+    when ``backend.profile_stages`` is set (scripts/reg_profile.py). Device
+    stages sync via np.asarray inside the block, so their device time is
+    included in the measured wall-clock."""
+    if not getattr(backend, "profile_stages", False):
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        times = getattr(backend, "_stage_times", None)
+        if times is None:
+            times = backend._stage_times = {}
+        times[stage] = times.get(stage, 0.0) + time.perf_counter() - t0
 
 
 def _pow2(n: int, lo: int) -> int:
@@ -116,18 +138,38 @@ def _prep_round(backend, pairs, seed, diversify_fps: bool = False,
     import jax.numpy as jnp
 
     from sgaligner_tpu.ops.fps import farthest_point_sample
-    from sgaligner_tpu.reg.learned import _downsample_cloud, _finish_prep
+    from sgaligner_tpu.reg.learned import _finish_prep
 
     if pair_ids is None:
         pair_ids = list(range(len(pairs)))
+    # Across-round cache (reset per register_batch call): when voxel
+    # downsampling leaves a cloud under max_points it consumes no rng and is
+    # DETERMINISTIC across retry rounds — recomputing it (and the KD-tree
+    # built over it in stage 6) every round is pure host waste on retries.
+    # Oversized clouds still re-subsample per round (their rng is seeded per
+    # attempt), preserving the existing retry stream exactly.
+    cache = getattr(backend, "_round_cache", None)
     clouds = []
-    for src_points, ref_points in pairs:
-        # one rng per pair, consumed src-then-ref — the serial path's order
-        rng = np.random.default_rng(seed)
-        clouds.append(_downsample_cloud(src_points, backend.voxel_size,
-                                        backend.max_points, rng))
-        clouds.append(_downsample_cloud(ref_points, backend.voxel_size,
-                                        backend.max_points, rng))
+    with _timed(backend, "prep.downsample"):
+        from sgaligner_tpu.reg.backend import voxel_downsample
+
+        for (src_points, ref_points), pid in zip(pairs, pair_ids):
+            # one rng per pair, consumed src-then-ref — the serial path order
+            rng = np.random.default_rng(seed)
+            for role, pts in ((0, src_points), (1, ref_points)):
+                key = ("down", pid, role)
+                if cache is not None and key in cache:
+                    clouds.append(cache[key])
+                    continue
+                c = voxel_downsample(pts.astype(np.float32),
+                                     backend.voxel_size)
+                if len(c) > backend.max_points:
+                    # consumed rng — per-round, never cached
+                    c = c[rng.choice(len(c), backend.max_points,
+                                     replace=False)]
+                elif cache is not None:
+                    cache[key] = c
+                clouds.append(c)
     g = _pow2(len(clouds), 2)
     bucket = _pow2(max(len(c) for c in clouds), 256)
     pts_pad = np.zeros((g, bucket, 3), np.float32)
@@ -141,11 +183,13 @@ def _prep_round(backend, pairs, seed, diversify_fps: bool = False,
             # too-few-superpoints None path downstream
             starts[i] = np.random.default_rng(
                 (seed, pair_ids[i // 2], i % 2, 17)).integers(len(c))
-    sp_idx = np.asarray(farthest_point_sample(
-        jnp.asarray(pts_pad), backend.n_super, start_idx=jnp.asarray(starts),
-        mask=jnp.asarray(valid)))
-    preps = [_finish_prep(c, sp_idx[i], backend.n_super, backend.patch_m)
-             for i, c in enumerate(clouds)]
+    with _timed(backend, "prep.fps"):
+        sp_idx = np.asarray(farthest_point_sample(
+            jnp.asarray(pts_pad), backend.n_super,
+            start_idx=jnp.asarray(starts), mask=jnp.asarray(valid)))
+    with _timed(backend, "prep.finish"):
+        preps = [_finish_prep(c, sp_idx[i], backend.n_super, backend.patch_m)
+                 for i, c in enumerate(clouds)]
     return [(preps[2 * i], preps[2 * i + 1]) for i in range(len(pairs))]
 
 
@@ -181,22 +225,24 @@ def register_round(backend, pairs, seed: int,
         return np.stack([preps[min(i, n_pairs - 1)][side][key]
                          for i in range(b)])
 
-    out = backend._apply_batch(
-        stack(0, "sp"), stack(1, "sp"), stack(0, "inv"), stack(1, "inv"),
-        stack(0, "eig"), stack(1, "eig"), stack(0, "pmask"),
-        stack(1, "pmask"), stack(0, "mask"), stack(1, "mask"))
-    out = jax.tree.map(np.asarray, out)
+    with _timed(backend, "matcher"):
+        out = backend._apply_batch(
+            stack(0, "sp"), stack(1, "sp"), stack(0, "inv"), stack(1, "inv"),
+            stack(0, "eig"), stack(1, "eig"), stack(0, "pmask"),
+            stack(1, "pmask"), stack(0, "mask"), stack(1, "mask"))
+        out = jax.tree.map(np.asarray, out)
 
     # ---- stage 3: coarse extraction (host, per pair)
-    coarse = []
-    for i in range(n_pairs):
-        src, ref = preps[i]
-        if src["mask"].sum() < 4 or ref["mask"].sum() < 4:
-            coarse.append(None)
-            continue
-        coarse.append(extract_correspondences(
-            {"log_assign": out["log_assign"][i]}, src, ref,
-            backend.top_pairs))
+    with _timed(backend, "coarse_extract"):
+        coarse = []
+        for i in range(n_pairs):
+            src, ref = preps[i]
+            if src["mask"].sum() < 4 or ref["mask"].sum() < 4:
+                coarse.append(None)
+                continue
+            coarse.append(extract_correspondences(
+                {"log_assign": out["log_assign"][i]}, src, ref,
+                backend.top_pairs))
 
     # ---- stage 4: fine Sinkhorn, one vmapped dispatch over pairs with
     # coarse correspondences
@@ -209,17 +255,20 @@ def register_round(backend, pairs, seed: int,
         for r, i in enumerate(rows):
             idx_pairs = coarse[i][3]
             pad_pairs[r, : len(idx_pairs)] = idx_pairs
-        fla = np.asarray(backend._fine_assign_batch(
-            out["src_pf"][rows], out["ref_pf"][rows],
-            np.stack([preps[i][0]["pmask"] for i in rows]),
-            np.stack([preps[i][1]["pmask"] for i in rows]),
-            pad_pairs, out["fine_temp"][rows], out["fine_alpha"][rows]))
-        for r, i in enumerate(rows[: len(act)]):
-            fine = extract_fine_correspondences(
-                fla[r], pad_pairs[r], len(coarse[i][3]), preps[i][0],
-                preps[i][1], backend.fine_score_thresh)
-            if fine is not None and len(fine[0]) >= backend.min_fine_corrs:
-                fine_results[i] = fine
+        with _timed(backend, "fine.device"):
+            fla = np.asarray(backend._fine_assign_batch(
+                out["src_pf"][rows], out["ref_pf"][rows],
+                np.stack([preps[i][0]["pmask"] for i in rows]),
+                np.stack([preps[i][1]["pmask"] for i in rows]),
+                pad_pairs, out["fine_temp"][rows], out["fine_alpha"][rows]))
+        with _timed(backend, "fine.extract"):
+            for r, i in enumerate(rows[: len(act)]):
+                fine = extract_fine_correspondences(
+                    fla[r], pad_pairs[r], len(coarse[i][3]), preps[i][0],
+                    preps[i][1], backend.fine_score_thresh)
+                if (fine is not None
+                        and len(fine[0]) >= backend.min_fine_corrs):
+                    fine_results[i] = fine
 
     # ---- stage 5: RANSAC hypotheses over every (pair, corr-set) instance,
     # one batched dispatch. Each instance's PRNG key is derived from
@@ -253,29 +302,43 @@ def register_round(backend, pairs, seed: int,
                                 inst[1])
              for inst in instances]
             + [base] * (gi - len(instances)))
-        tfs, scores_h = ransac_hypotheses_batch(
-            src_p, ref_p, mask_p, keys, thr, iters=1000)
-        tfs = np.asarray(tfs)
-        scores_h = np.asarray(scores_h)
-        for r, (i, _role, sc, rc, t, corrs) in enumerate(instances):
-            for tf in _topk_nms_refine(tfs[r], scores_h[r], sc, rc, t,
-                                       k=backend.hypotheses):
-                hyps_per_pair[i].append((tf, corrs))
+        with _timed(backend, "ransac.device"):
+            tfs, scores_h = ransac_hypotheses_batch(
+                src_p, ref_p, mask_p, keys, thr, iters=1000)
+            tfs = np.asarray(tfs)
+            scores_h = np.asarray(scores_h)
+        with _timed(backend, "ransac.nms"):
+            for r, (i, _role, sc, rc, t, corrs) in enumerate(instances):
+                for tf in _topk_nms_refine(tfs[r], scores_h[r], sc, rc, t,
+                                           k=backend.hypotheses):
+                    hyps_per_pair[i].append((tf, corrs))
 
     # ---- stage 6: pre-score (host KD-tree, cached per pair) and candidate
     # selection for the ICP budget
-    nns = {i: _NNCache(preps[i][1]["points"]) for i in act}
-    cands: dict[int, list] = {}
-    for i in act:
-        hyps = hyps_per_pair[i]
-        if not hyps:
-            src_c, ref_c, scores, _ = coarse[i]
-            hyps = [(weighted_kabsch(src_c, ref_c, scores),
-                     (src_c, ref_c, scores))]
-        hyps = sorted(
-            hyps, key=lambda h: -_fit_score(nns[i], preps[i][0]["points"],
-                                            h[0], backend.voxel_size))
-        cands[i] = hyps[: backend.max_refine]
+    with _timed(backend, "verify.tree_build"):
+        cache = getattr(backend, "_round_cache", None)
+        nns = {}
+        for i in act:
+            nn_key = ("nn", pair_ids[i])
+            if cache is not None and ("down", pair_ids[i], 1) in cache:
+                # ref cloud is deterministic across rounds -> tree reusable
+                if nn_key not in cache:
+                    cache[nn_key] = _NNCache(preps[i][1]["points"])
+                nns[i] = cache[nn_key]
+            else:
+                nns[i] = _NNCache(preps[i][1]["points"])
+    with _timed(backend, "verify.prescore"):
+        cands: dict[int, list] = {}
+        for i in act:
+            hyps = hyps_per_pair[i]
+            if not hyps:
+                src_c, ref_c, scores, _ = coarse[i]
+                hyps = [(weighted_kabsch(src_c, ref_c, scores),
+                         (src_c, ref_c, scores))]
+            hyps = sorted(
+                hyps, key=lambda h: -_fit_score(nns[i], preps[i][0]["points"],
+                                                h[0], backend.voxel_size))
+            cands[i] = hyps[: backend.max_refine]
 
     # ---- stage 7: trimmed-ICP schedule over every (pair, candidate)
     # instance, one batched dispatch. Wide->tight trims: the wide pass pulls
@@ -293,6 +356,15 @@ def register_round(backend, pairs, seed: int,
         src_m = np.zeros((g2, sb), bool)
         ref_m = np.zeros((g2, rb), bool)
         inits = np.tile(np.eye(4, dtype=np.float32), (g2, 1, 1))
+        # correspondence anchor springs per candidate (see reg/icp.py
+        # docstring — the planar-sliding fix); weight-0 rows are padding
+        frac = float(getattr(backend, "icp_anchor_frac", 0.15))
+        pb = _pow2(max((len(cands[i][c][1][0]) for i, c in flat),
+                       default=1), 16) if frac > 0 else 0
+        if frac > 0:
+            a_src = np.zeros((g2, pb, 3), np.float32)
+            a_ref = np.zeros((g2, pb, 3), np.float32)
+            a_w = np.zeros((g2, pb), np.float32)
         for r, (i, c) in enumerate(flat):
             sp, rp = preps[i][0]["points"], preps[i][1]["points"]
             src_p[r, : len(sp)] = sp
@@ -300,9 +372,26 @@ def register_round(backend, pairs, seed: int,
             src_m[r, : len(sp)] = True
             ref_m[r, : len(rp)] = True
             inits[r] = np.asarray(cands[i][c][0], np.float32)
+            if frac > 0:
+                # anchor ONLY to the matches this candidate's init already
+                # agrees with: at low overlap the raw corr set is majority
+                # outliers and anchoring to its weighted consensus drags the
+                # solution (measured: scene_2 0.3 band 21/32 -> 6/32 hits)
+                cs, cr, cw = cands[i][c][1]
+                init = np.asarray(cands[i][c][0], np.float64)
+                res = np.linalg.norm(
+                    cs @ init[:3, :3].T + init[:3, 3] - cr, axis=-1)
+                gate = res < max(1.5 * backend.voxel_size, 0.075)
+                a_src[r, : len(cs)] = cs
+                a_ref[r, : len(cr)] = cr
+                a_w[r, : len(cw)] = np.maximum(cw, 0.0) * gate
         trims = np.array([6.0, 2.0, 1.0], np.float32) * backend.voxel_size
-        refined = np.asarray(icp_refine_stages_batch(
-            src_p, ref_p, src_m, ref_m, inits, trims, iters=10))
+        with _timed(backend, "icp.device"):
+            anchors = ((a_src, a_ref, a_w) if frac > 0
+                       else (None, None, None))
+            refined = np.asarray(icp_refine_stages_batch(
+                src_p, ref_p, src_m, ref_m, inits, trims, *anchors,
+                anchor_frac=frac, iters=10))
         ests = {fc: np.asarray(refined[r], np.float64)
                 for r, fc in enumerate(flat)}
     else:
@@ -312,6 +401,7 @@ def register_round(backend, pairs, seed: int,
     # ---- stage 8: final verification, best candidate per pair
     results: list[dict | None] = [None] * n_pairs
     diag = bool(getattr(backend, "diag", False))
+    t8 = time.perf_counter()
     for i in act:
         best = None
         rows = []
@@ -337,4 +427,9 @@ def register_round(backend, pairs, seed: int,
         }
         if diag:
             results[i]["candidates"] = rows
+    if getattr(backend, "profile_stages", False):
+        times = getattr(backend, "_stage_times", None) or {}
+        times["verify.final"] = (times.get("verify.final", 0.0)
+                                 + time.perf_counter() - t8)
+        backend._stage_times = times
     return results

@@ -57,8 +57,8 @@ CONFIGS = {
     "point": dict(modules=["point"], model_name="sgaligner",
                   epochs=MAX_EPOCH, scheduler="none", lr=1e-3),
     "full": dict(modules=["point", "gat", "rel", "attr"],
-                 model_name="sgaligner", epochs=120,
-                 scheduler="warmup-cosine", lr=2e-3),
+                 model_name="sgaligner", epochs=200,
+                 scheduler="warmup-cosine", lr=1e-3, best_metric="mrr"),
     "eva": dict(modules=["point", "gcn", "rel", "attr"], model_name="eva",
                 epochs=MAX_EPOCH, scheduler="none", lr=1e-3),
 }
@@ -76,13 +76,18 @@ def build_benchmark_workspace(root: str) -> None:
 
 def write_cfg(path: str, root: str, modules: list[str],
               max_epoch: int = MAX_EPOCH, model_name: str = "sgaligner",
-              scheduler: str = "none", lr: float = 1e-3) -> str:
+              scheduler: str = "none", lr: float = 1e-3,
+              best_metric: str = "loss") -> str:
     mods = ", ".join(f"'{m}'" for m in modules)
     sched = ""
     if scheduler not in ("none", "", None):
         sched = (f"\n  scheduler: '{scheduler}'"
                  f"\n  steps_per_epoch: {STEPS_PER_EPOCH}"
                  f"\n  warmup_steps: {5 * STEPS_PER_EPOCH}")
+    best = ""
+    if best_metric != "loss":
+        best = (f"\n  best_metric: '{best_metric}'"
+                "\n  best_mode: 'max'")
     text = f"""
 seed: 42
 num_workers: 2
@@ -97,7 +102,7 @@ preprocess:
   min_obj_points: 10
 train:
   batch_size: 8
-  pc_res: 512
+  pc_res: 512{best}
 val:
   batch_size: 8
   pc_res: 512
@@ -138,6 +143,10 @@ def main(argv=None) -> int:
                     choices=list(CONFIGS))
     ap.add_argument("--epochs", type=int, default=None,
                     help="override every selected config's epoch count")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override every selected config's learning rate")
+    ap.add_argument("--scheduler", type=str, default=None,
+                    help="override every selected config's LR schedule")
     ap.add_argument("--skip_copy", action="store_true",
                     help="do not update checkpoints/aligner_*")
     args = ap.parse_args(argv)
@@ -148,7 +157,13 @@ def main(argv=None) -> int:
 
     table = {}
     for name in args.configs:
-        rec = CONFIGS[name]
+        rec = dict(CONFIGS[name])
+        if args.epochs is not None:
+            rec["epochs"] = args.epochs
+        if args.lr is not None:
+            rec["lr"] = args.lr
+        if args.scheduler is not None:
+            rec["scheduler"] = args.scheduler
         modules = rec["modules"]
         if rec["model_name"] == "eva":
             from sgaligner_tpu.cli.trainval_eva import main as train_main
@@ -158,7 +173,7 @@ def main(argv=None) -> int:
             osp.join(args.workdir, f"cfg_{name}.yaml"), ws, modules,
             max_epoch=args.epochs or rec["epochs"],
             model_name=rec["model_name"], scheduler=rec["scheduler"],
-            lr=rec["lr"])
+            lr=rec["lr"], best_metric=rec.get("best_metric", "loss"))
         out_root = osp.join(args.workdir, f"out_{name}")
         rc = train_main(["--config", cfg_path, "--output_root", out_root])
         assert rc == 0
@@ -183,7 +198,8 @@ def main(argv=None) -> int:
                            "n_val_pairs": N_VAL_PAIRS, "modules": modules,
                            "model_name": rec["model_name"],
                            "recipe": {k: rec[k] for k in
-                                      ("epochs", "scheduler", "lr")},
+                                      ("epochs", "scheduler", "lr",
+                                       "best_metric") if k in rec},
                            "results": results}, f, indent=2, default=float)
             print(f"snapshot -> {dst}")
 

@@ -40,13 +40,16 @@ import sys
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MODES = ["orig", "remove_node", "remove_edge", "change_node_semantic",
-         "change_edge_semantic"]
+# mode DIRECTORY names (what cfg.val.data_mode takes) — the reference's
+# preprocess maps each flag to these (preprocess.py:27-36) and writes
+# files/<mode>/{data,anchors_*.json} (:223,263)
+MODES = ["orig", "node_removed", "edge_removed", "node_semantic_changed",
+         "edge_semantic_changed"]
 MODE_FLAGS = {
-    "remove_node": "--remove_nodes",
-    "remove_edge": "--remove_edges",
-    "change_node_semantic": "--change_node_semantic",
-    "change_edge_semantic": "--change_edge_semantic",
+    "node_removed": "--remove_nodes",
+    "edge_removed": "--remove_edges",
+    "node_semantic_changed": "--change_node_semantic",
+    "edge_semantic_changed": "--change_edge_semantic",
 }
 # the workspace contract — the regression test regenerates the SAME
 # workspace from these constants

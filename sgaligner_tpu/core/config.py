@@ -58,6 +58,12 @@ class TrainConfig:
     augmentation_noise: float = 0.005
     augmentation_active: bool = False
     log_steps: int = 1
+    # best-snapshot criterion over the val epoch summary. The reference
+    # tracks val loss only (epoch_based_trainer.py:165-168); tracking a task
+    # metric directly (e.g. 'mrr' with mode 'max') is an extension the
+    # reference's dead-code schedules never reached.
+    best_metric: str = "loss"
+    best_mode: str = "min"
 
 
 @dataclass

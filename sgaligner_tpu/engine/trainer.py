@@ -266,9 +266,13 @@ class Trainer:
                 self.logger.info(f"[epoch {self.epoch}] val: " + ", ".join(
                     f"{k}: {v:.4f}" for k, v in val_summary.items()))
                 self._write_scalars("val", val_summary, self.epoch)
-                key = ("last_batch_loss" if self.best_on_last_batch else "loss")
-                if val_summary[key] < self.best_val_loss and self.cfg.snapshot_dir:
-                    self.best_val_loss = val_summary[key]
+                key = ("last_batch_loss" if self.best_on_last_batch
+                       else self.cfg.train.best_metric)
+                sign = -1.0 if (self.cfg.train.best_mode == "max"
+                                and not self.best_on_last_batch) else 1.0
+                if (sign * val_summary[key] < self.best_val_loss
+                        and self.cfg.snapshot_dir):
+                    self.best_val_loss = sign * val_summary[key]
                     ckpt.save_snapshot(
                         self.cfg.snapshot_dir, "best_snapshot",
                         params=jax.device_get(self.state.params),

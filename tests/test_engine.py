@@ -81,6 +81,31 @@ def test_trainer_run_snapshot_resume(tmp_path):
     assert len(result2["history"]) == 1  # only epoch 3 ran
 
 
+def test_trainer_best_metric_max(tmp_path):
+    """cfg.train.best_metric='mrr' / best_mode='max' keys the best snapshot
+    on the task metric instead of val loss — the extension that fixed the
+    round-5 full-aligner artifact (warmup-cosine training reaches val MRR
+    ~0.99 while the Kendall-weighted val LOSS keeps drifting up, so by-loss
+    selection discards the best epochs)."""
+    cfg = small_cfg()
+    cfg.snapshot_dir = str(tmp_path / "snapshots")
+    cfg.log_dir = ""
+    cfg.train.best_metric = "mrr"
+    cfg.train.best_mode = "max"
+    import os
+
+    os.makedirs(cfg.snapshot_dir, exist_ok=True)
+    train_data = batches(cfg, 2, 3)
+    val_data = batches(cfg, 2, 2, seed0=100)
+    trainer = Trainer(cfg, lambda: iter(train_data), lambda: iter(val_data))
+    trainer.init_state(train_data[0])
+    result = trainer.run()
+    assert (tmp_path / "snapshots" / "best_snapshot").is_dir()
+    # the tracked best value is the max val MRR seen, negated internally
+    best_mrr = max(e["val"]["mrr"] for e in result["history"])
+    assert trainer.best_val_loss == pytest.approx(-best_mrr)
+
+
 def test_eva_train_step_descends():
     cfg = small_cfg(model_name="eva", modules=["point", "gcn", "rel", "attr"])
     [batch] = batches(cfg, 2, 1)

@@ -37,8 +37,8 @@ def _quality(name):
 # asked the floors to track the achieved table, not half of it)
 FLOORS = {
     "point": {"mrr": 0.55, "hits@1": 0.37},
-    "full": {"mrr": 0.82, "hits@1": 0.74},
-    "eva": {"mrr": 0.55, "hits@1": 0.37},
+    "full": {"mrr": 0.97, "hits@1": 0.96},
+    "eva": {"mrr": 0.96, "hits@1": 0.95},
 }
 
 

@@ -92,8 +92,8 @@ def test_training_loss_decreases():
 
 @pytest.mark.skipif(not os.path.isdir(CKPT),
                     reason="pretrained geo_reg checkpoint not present")
-def test_pretrained_backend_registers_under_full_so3():
-    be = LearnedBackend(checkpoint=CKPT)
+def test_pretrained_backend_registers_under_full_so3(geo_backend):
+    be = geo_backend
     rng = np.random.default_rng(321)
     ok = 0
     for _ in range(3):
@@ -146,38 +146,45 @@ def test_fine_assign_recovers_planted_matches():
 
 @pytest.mark.skipif(not os.path.isdir(CKPT),
                     reason="pretrained geo_reg checkpoint not present")
-def test_pretrained_low_overlap_band():
+def test_pretrained_low_overlap_band(geo_backend):
     """The round-2 review's acceptance bar: held-out recall@(5deg,10cm) at
     LOW overlaps — where the reference engine's README numbers live — not
     just favorable pairs. Extended to the 0.2 band in round 4 (the
     3DLoMatch-class regime the reference engine targets,
-    src/datasets/scan3r.py:35-41 val band)."""
+    src/datasets/scan3r.py:35-41 val band); re-pinned at n=8/band in round
+    5 at the achieved level (VERDICT r4 item 2: the old n=4 `hits >= 2`
+    floors would pass a 20-30%% recall regression). CPU-measured on this
+    seed: 6/8, 8/8, 8/8 — the 4-seed n=32 envelope is PARITY.md's table
+    (pooled 0.625 / 0.875 / 0.969)."""
     from sgaligner_tpu.reg.eval_geo import evaluate
 
-    be = LearnedBackend(checkpoint=CKPT)
-    res = evaluate(be, overlaps=(0.2, 0.3, 0.4), n_pairs=4, seed=999,
+    be = geo_backend
+    res = evaluate(be, overlaps=(0.2, 0.3, 0.4), n_pairs=8, seed=999,
                    verbose=False)
     hits = res[0.3]["hits"] + res[0.4]["hits"]
-    assert hits >= 6, f"low-overlap recall {hits}/8 below bar: {res}"
+    # measured 16/16; a 20% band-recall regression (0.875 -> 0.70 -> 12.8)
+    # fails this floor
+    assert hits >= 13, f"low-overlap recall {hits}/16 below bar: {res}"
     assert res[0.3]["RR"] >= 0.75 and res[0.4]["RR"] >= 0.75, res
     # typical (hit-only) precision: the review bar is RTE <= 3 cm
     assert res[0.4]["RTE_hit"] <= 0.04, res
-    # 0.2 regime: below the r3 curriculum floor; mix3 (trained to 0.12)
-    # must register at least half of these
-    assert res[0.2]["hits"] >= 2, f"0.2-band recall collapsed: {res[0.2]}"
+    # 0.2 regime (trained to 0.12): measured 6/8 on this seed, pooled 0.625
+    assert res[0.2]["hits"] >= 5, f"0.2-band recall regressed: {res[0.2]}"
 
 
-def test_pretrained_planar_scene_recall():
+def test_pretrained_planar_scene_recall(geo_backend):
     """Planar self-similar scenes were the shipped checkpoint's measured
     real-scan failure mode (PARITY.md scene_2 rows; VERDICT r3 'what's
     weak' #1). Pin room-family recall in CI so a regression in exactly the
-    hard domain cannot pass silently."""
+    hard domain cannot pass silently. Round 5: n=16 at the achieved level
+    (VERDICT r4 item 2's prescribed floor was >= 12/16; CPU-measured 15/16
+    on this seed, 4-seed n=32 envelope 31.2 [31-32]/32)."""
     from sgaligner_tpu.reg.eval_geo import evaluate
 
-    be = LearnedBackend(checkpoint=CKPT)
-    res = evaluate(be, overlaps=(0.3,), n_pairs=4, seed=424_242,
+    be = geo_backend
+    res = evaluate(be, overlaps=(0.3,), n_pairs=16, seed=424_242,
                    scene_kind="room", verbose=False)
-    assert res[0.3]["hits"] >= 3, f"planar-scene recall regressed: {res}"
+    assert res[0.3]["hits"] >= 13, f"planar-scene recall regressed: {res}"
 
 
 @pytest.mark.skipif(not os.path.isdir(CKPT),

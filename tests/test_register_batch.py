@@ -85,12 +85,10 @@ def test_icp_stages_batch_matches_serial_schedule():
 
 @pytest.mark.skipif(not os.path.isdir(CKPT),
                     reason="pretrained geo_reg checkpoint not present")
-def test_register_batch_recovers_transforms():
+def test_register_batch_recovers_transforms(geo_backend):
     """A 3-pair batch through the full batched pipeline: every output dict is
     well-formed and easy (0.6-overlap) pairs recover their transform."""
-    from sgaligner_tpu.reg.learned import LearnedBackend
-
-    be = LearnedBackend(checkpoint=CKPT)
+    be = geo_backend
     rng = np.random.default_rng(321)
     pairs, gts = [], []
     for _ in range(3):
@@ -112,13 +110,11 @@ def test_register_batch_recovers_transforms():
 
 @pytest.mark.skipif(not os.path.isdir(CKPT),
                     reason="pretrained geo_reg checkpoint not present")
-def test_register_batch_agrees_with_serial_singletons():
+def test_register_batch_agrees_with_serial_singletons(geo_backend):
     """Batch-of-2 and singleton calls agree on registration success and land
     in the same transform basin (bitwise equality is NOT expected: batch-
     common padding changes the RANSAC sampling stream, not the consensus)."""
-    from sgaligner_tpu.reg.learned import LearnedBackend
-
-    be = LearnedBackend(checkpoint=CKPT)
+    be = geo_backend
     rng = np.random.default_rng(99)
     pairs, gts = [], []
     for _ in range(2):
